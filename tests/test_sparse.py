@@ -1,0 +1,93 @@
+"""Sparse operator correctness vs scipy oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import sparse as sp
+
+from trips_tpu.core import (
+    BatchedBlockDiagOperator,
+    BlockDiagOperator,
+    DenseOperator,
+    IdentityOperator,
+    VStackOperator,
+)
+from trips_tpu.sparse import BsrOperator, EllOperator
+
+
+def random_sparse(rng, m, n, density=0.05):
+    return sp.random(m, n, density=density, format="csr", random_state=np.random.RandomState(7))
+
+
+@pytest.mark.parametrize("cls,kw", [(EllOperator, {}), (BsrOperator, {"bs": 16})])
+def test_spmv_matches_scipy(rng, cls, kw):
+    A = random_sparse(rng, 123, 87)
+    op = cls.from_scipy(A, **kw)
+    x = rng.standard_normal(87)
+    y = rng.standard_normal(123)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), A @ x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(jnp.asarray(y))), A.T @ y, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("cls,kw", [(EllOperator, {}), (BsrOperator, {"bs": 16})])
+def test_spmm_matches_scipy(rng, cls, kw):
+    A = random_sparse(rng, 64, 150)
+    op = cls.from_scipy(A, **kw)
+    X = rng.standard_normal((150, 5))
+    Y = rng.standard_normal((64, 3))
+    np.testing.assert_allclose(np.asarray(op.matmat(jnp.asarray(X))), A @ X, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmatmat(jnp.asarray(Y))), A.T @ Y, rtol=1e-10, atol=1e-12)
+
+
+def test_spmv_under_jit(rng):
+    A = random_sparse(rng, 40, 40)
+    op = EllOperator.from_scipy(A)
+    x = rng.standard_normal(40)
+
+    @jax.jit
+    def f(op, x):
+        return op.matvec(x)
+
+    np.testing.assert_allclose(np.asarray(f(op, jnp.asarray(x))), A @ x, rtol=1e-10, atol=1e-12)
+
+
+def test_empty_blockrow_bsr(rng):
+    A = sp.csr_matrix((48, 48))
+    A[0, 0] = 1.0
+    A[40, 3] = 2.0
+    op = BsrOperator.from_scipy(A.tocsr(), bs=16)
+    x = rng.standard_normal(48)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), A @ x, atol=1e-12)
+
+
+def test_combinators(rng):
+    A = rng.standard_normal((10, 8))
+    B = rng.standard_normal((6, 8))
+    opA, opB = DenseOperator(A), DenseOperator(B)
+    x = rng.standard_normal(8)
+
+    stack = VStackOperator([opA, opB])
+    np.testing.assert_allclose(np.asarray(stack @ x), np.concatenate([A @ x, B @ x]), atol=1e-12)
+    y = rng.standard_normal(16)
+    np.testing.assert_allclose(np.asarray(stack.T @ y), A.T @ y[:10] + B.T @ y[10:], atol=1e-12)
+
+    bd = BlockDiagOperator([opA, opB])
+    z = rng.standard_normal(16)
+    np.testing.assert_allclose(
+        np.asarray(bd @ z), np.concatenate([A @ z[:8], B @ z[8:]]), atol=1e-12
+    )
+
+    bbd = BatchedBlockDiagOperator(opA, 3)
+    w = rng.standard_normal(24)
+    expect = np.concatenate([A @ w[:8], A @ w[8:16], A @ w[16:]])
+    np.testing.assert_allclose(np.asarray(bbd @ w), expect, atol=1e-12)
+    yy = rng.standard_normal(30)
+    expect_t = np.concatenate([A.T @ yy[:10], A.T @ yy[10:20], A.T @ yy[20:]])
+    np.testing.assert_allclose(np.asarray(bbd.T @ yy), expect_t, atol=1e-12)
+
+    ident = IdentityOperator(8)
+    np.testing.assert_allclose(np.asarray(ident @ x), x)
+    comp = opA @ ident
+    np.testing.assert_allclose(np.asarray(comp @ x), A @ x, atol=1e-12)
+    scaled = 2.5 * opA
+    np.testing.assert_allclose(np.asarray(scaled @ x), 2.5 * (A @ x), atol=1e-12)
