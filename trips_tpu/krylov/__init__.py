@@ -1,0 +1,5 @@
+from .arnoldi import arnoldi
+from .cgls import cgls, cgls_history
+from .golub_kahan import golub_kahan
+
+__all__ = ["arnoldi", "cgls", "cgls_history", "golub_kahan"]

@@ -1,0 +1,61 @@
+"""Arnoldi factorization (modified Gram-Schmidt) — fused device loop.
+
+Reference semantics: ``trips/utilities/decompositions.py:20-116`` (batch) and
+``:207-228`` (incremental ``arnoldi_update`` used by Hybrid GMRES).
+
+Deviation (deliberate): the reference *batch* arnoldi orthogonalizes the new
+Krylov vector only against columns ``0..k-1`` (``decompositions.py:90-94``
+loops ``range(iterations)``), silently skipping the current column ``k`` and
+leaving ``H[k, k] = 0``; its incremental form (``:216-218``) orthogonalizes
+against all columns. We implement the (correct) incremental semantics in both
+forms, so the batch factorization here equals k applications of the
+reference's ``arnoldi_update``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def arnoldi(A, b, n_iter: int):
+    """Returns Q (n, k+1), H (k+1, k) upper-Hessenberg, with Q[:,0] = b/||b||."""
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("Arnoldi can not be used. The operator is not square")
+    n = A.shape[0]
+    b = jnp.reshape(b, (-1,))
+    dtype = b.dtype
+
+    Q = jnp.zeros((n, n_iter + 1), dtype)
+    H = jnp.zeros((n_iter + 1, n_iter), dtype)
+    Q = Q.at[:, 0].set(b / jnp.linalg.norm(b))
+
+    def outer(k, carry):
+        Q, H = carry
+        q_k = jax.lax.dynamic_slice_in_dim(Q, k, 1, axis=1)[:, 0]
+        w = A.matvec(q_k)
+
+        def inner(j, wh):
+            w, h = wh
+            q_j = jax.lax.dynamic_slice_in_dim(Q, j, 1, axis=1)[:, 0]
+            hj = jnp.dot(q_j, w)
+            active = j <= k
+            hj = jnp.where(active, hj, 0.0)
+            w = w - hj * q_j
+            h = h.at[j].set(hj)
+            return (w, h)
+
+        h = jnp.zeros((n_iter + 1,), dtype)
+        w, h = jax.lax.fori_loop(0, n_iter, inner, (w, h))
+        nrm = jnp.linalg.norm(w)
+        h = h.at[k + 1].set(nrm)
+        Q = jax.lax.dynamic_update_slice_in_dim(
+            Q, (w / jnp.where(nrm == 0, 1.0, nrm))[:, None], k + 1, axis=1
+        )
+        H = jax.lax.dynamic_update_slice_in_dim(H, h[:, None], k, axis=1)
+        return (Q, H)
+
+    Q, H = jax.lax.fori_loop(0, n_iter, outer, (Q, H))
+    return Q, H

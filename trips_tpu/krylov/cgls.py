@@ -1,0 +1,108 @@
+"""CGLS — conjugate gradient on the normal equations, fused device loop.
+
+Mirrors the recurrence and stopping rule of the reference
+(``trips/solvers/CGLS.py:16-86``): per iteration one ``A p`` and one
+``A^T r`` (the hot SpMVs), scalar recurrences, stop when
+``||A^T r|| <= tol * ||A^T r_0||`` or ``tol * ||x|| >= 1`` or k == max_iter.
+
+The whole loop runs on device in a single ``lax.while_loop``; the scalar dot
+products become ``psum``s under ``shard_map`` when the operator is sharded.
+History is not accumulated inside the fused loop (the reference keeps a full
+``xHistory``); the solver wrapper offers a scanned variant that records
+per-iteration solutions when requested.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGLSState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    gamma: jax.Array
+    norms_t0: jax.Array
+    xmax: jax.Array
+    k: jax.Array
+    done: jax.Array
+
+
+def _init(A, b, x0):
+    x = jnp.reshape(x0, (-1,))
+    b = jnp.reshape(b, (-1,))
+    r = b - A.matvec(x)
+    t = A.rmatvec(r)
+    norms_t0 = jnp.linalg.norm(t)
+    return CGLSState(
+        x=x,
+        r=r,
+        p=t,
+        gamma=norms_t0**2,
+        norms_t0=norms_t0,
+        xmax=jnp.linalg.norm(x),
+        k=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+
+def _step(A, tol, s: CGLSState) -> CGLSState:
+    w = A.matvec(s.p)
+    delta = jnp.linalg.norm(w) ** 2
+    delta = jnp.where(delta == 0, jnp.finfo(s.x.dtype).eps, delta)
+    beta = s.gamma / delta
+    x = s.x + beta * s.p
+    r = s.r - beta * w
+    t = A.rmatvec(r)
+    norm_t = jnp.linalg.norm(t)
+    gamma = norm_t**2
+    p = t + (gamma / s.gamma) * s.p
+    norm_x = jnp.linalg.norm(x)
+    done = jnp.logical_or(norm_t <= s.norms_t0 * tol, norm_x * tol >= 1)
+    return CGLSState(
+        x=x,
+        r=r,
+        p=p,
+        gamma=gamma,
+        norms_t0=s.norms_t0,
+        xmax=jnp.maximum(s.xmax, norm_x),
+        k=s.k + 1,
+        done=done,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def cgls(A, b, x0, max_iter: int, tol):
+    """Fused CGLS; returns (x, k_iterations)."""
+    s0 = _init(A, b, x0)
+
+    def cond(s):
+        return jnp.logical_and(s.k < max_iter, jnp.logical_not(s.done))
+
+    s = jax.lax.while_loop(cond, lambda s: _step(A, tol, s), s0)
+    return s.x, s.k
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def cgls_history(A, b, x0, max_iter: int, tol):
+    """Scanned CGLS recording per-iteration solutions and diagnostics.
+
+    Matches the reference's bookkeeping (``CGLS.py:66-80``): once the stopping
+    rule fires, subsequent entries repeat the converged iterate.
+    """
+    s0 = _init(A, b, x0)
+
+    def step(s, _):
+        s_next = _step(A, tol, s)
+        active = jnp.logical_and(s.k < max_iter, jnp.logical_not(s.done))
+        s_keep = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), s_next, s
+        )
+        rel_step = jnp.linalg.norm(s_keep.x - s.x) / jnp.linalg.norm(s_keep.x)
+        return s_keep, (s_keep.x, rel_step)
+
+    s, (xs, rel_steps) = jax.lax.scan(step, s0, None, length=max_iter)
+    return s.x, s.k, xs, rel_steps

@@ -1,0 +1,64 @@
+"""Golub-Kahan bidiagonalization — fused device loop.
+
+Reference semantics: ``trips/utilities/decompositions.py:118-205`` (batch) and
+``:230-255`` (incremental update used by Hybrid LSQR). The reference grows
+U/V/alphas/betas with ``np.pad`` per iteration; here bases are preallocated at
+``n_iter`` width and written via dynamic-update-slice inside a ``lax.fori_loop``
+so the whole factorization is one XLA computation: per iteration exactly one
+``A^T u`` and one ``A v`` (the hot SpMVs), plus two norms.
+
+Returns the same (U, S, V) triplet: U (m, k+1), S (k+1, k) lower-bidiagonal,
+V (n, k). There is no reorthogonalization, matching the reference.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def golub_kahan(A, b, n_iter: int):
+    m, n = A.shape
+    b = jnp.reshape(b, (-1,))
+    dtype = b.dtype
+
+    U = jnp.zeros((m, n_iter + 1), dtype)
+    V = jnp.zeros((n, n_iter), dtype)
+    alphas = jnp.zeros((n_iter,), dtype)
+    betas = jnp.zeros((n_iter,), dtype)
+
+    U = U.at[:, 0].set(b / jnp.linalg.norm(b))
+
+    def body(k, carry):
+        U, V, alphas, betas = carry
+        u_k = jax.lax.dynamic_slice_in_dim(U, k, 1, axis=1)[:, 0]
+        v_prev = jnp.where(
+            k > 0,
+            jax.lax.dynamic_slice_in_dim(V, jnp.maximum(k - 1, 0), 1, axis=1)[:, 0],
+            jnp.zeros((n,), dtype),
+        )
+        beta_prev = jnp.where(k > 0, betas[jnp.maximum(k - 1, 0)], 0.0)
+
+        v = A.rmatvec(u_k) - beta_prev * v_prev
+        alpha = jnp.linalg.norm(v)
+        v = v / alpha
+
+        u = A.matvec(v) - alpha * u_k
+        beta = jnp.linalg.norm(u)
+        u = u / beta
+
+        U = jax.lax.dynamic_update_slice_in_dim(U, u[:, None], k + 1, axis=1)
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[:, None], k, axis=1)
+        alphas = alphas.at[k].set(alpha)
+        betas = betas.at[k].set(beta)
+        return (U, V, alphas, betas)
+
+    U, V, alphas, betas = jax.lax.fori_loop(0, n_iter, body, (U, V, alphas, betas))
+
+    S = jnp.zeros((n_iter + 1, n_iter), dtype)
+    ar = jnp.arange(n_iter)
+    S = S.at[ar, ar].set(alphas)
+    S = S.at[ar + 1, ar].set(betas)
+    return U, S, V
