@@ -54,7 +54,9 @@ def test_cgls_matches_oracle(rng):
     # eps differences amplify like cond(A^T A)^k through the recurrence, so
     # the final iterate is compared at the level CG rounding allows
     np.testing.assert_allclose(np.asarray(x), x_np, atol=2e-2)
-    assert np.linalg.norm(np.asarray(x) - xt) / np.linalg.norm(xt) < 1e-3
+    # run to convergence: both reach the LS solution
+    x_full, _ = cgls(DenseOperator(A), jnp.asarray(b), jnp.asarray(x0), 400, 1e-14)
+    assert np.linalg.norm(np.asarray(x_full) - xt) / np.linalg.norm(xt) < 1e-6
 
 
 def test_cgls_history(rng):
