@@ -50,6 +50,55 @@ def _standard_form(A, L, b):
     return Anew, bnew
 
 
+def dp_tikhonov_projected(R_A, R_L, bproj, out_norm2, delta, eta=1.01,
+                          explicit_proj=False):
+    """DP Newton iteration given projected quantities (basis stays on device)."""
+    thresh = (eta * delta) ** 2
+    A = dense_or_identity(R_A)
+    bproj = np.asarray(bproj, dtype=float).reshape(-1, 1)
+    Anew, bnew = _standard_form(A, R_L, bproj)
+    return _dp_newton(Anew, bnew, out_norm2, thresh, explicit_proj)
+
+
+def _dp_newton(Anew, bnew, out_norm2, thresh, explicit_proj):
+    U, S, _ = sla.svd(Anew)
+    sv2 = S**2
+    bhat = (U.T @ bnew).reshape(-1)
+    mA, nA = Anew.shape
+    if mA > nA:
+        sv2 = np.concatenate([sv2, np.zeros(mA - nA)])
+        tail2 = float(np.linalg.norm(bhat[nA - mA :]) ** 2)
+        testzero = tail2 + (out_norm2 if explicit_proj else 0.0) - thresh
+    else:
+        testzero = out_norm2 - thresh
+
+    if testzero >= 0:
+        return 0
+
+    beta = 1e-8
+    alpha = None
+    iterations = 0
+    while (iterations < 30) or (
+        iterations <= 100 and alpha is not None and abs(alpha) < 1e-16
+    ):
+        filt = 1.0 / (sv2 * beta + 1.0)
+        zbeta = filt * bhat
+        f = float(np.sum(zbeta**2)) - thresh
+        if explicit_proj:
+            f += out_norm2
+        wbeta = filt * zbeta
+        f_prime = 2.0 / beta * float(zbeta @ (wbeta - zbeta))
+        beta_new = beta - f / f_prime
+        if abs(beta_new - beta) < 1e-12 * beta:
+            beta = beta_new
+            alpha = 1.0 / beta_new
+            break
+        beta = beta_new
+        alpha = 1.0 / beta_new
+        iterations += 1
+    return float(alpha)
+
+
 def discrepancy_principle(Q, A, L, b, delta=None, eta=1.01, **kwargs):
     if not isinstance(delta, (int, float)):
         raise Exception(
@@ -70,42 +119,7 @@ def discrepancy_principle(Q, A, L, b, delta=None, eta=1.01, **kwargs):
         out_norm2 = float(np.linalg.norm(bfull - Q @ bproj) ** 2)
 
         Anew, bnew = _standard_form(A, L, bproj)
-        U, S, _ = sla.svd(Anew)
-        sv2 = S**2
-        bhat = (U.T @ bnew).reshape(-1)
-        mA, nA = Anew.shape
-        if mA > nA:
-            sv2 = np.concatenate([sv2, np.zeros(mA - nA)])
-            tail2 = float(np.linalg.norm(bhat[nA - mA :]) ** 2)
-            testzero = tail2 + (out_norm2 if explicit_proj else 0.0) - thresh
-        else:
-            testzero = out_norm2 - thresh
-
-        if testzero >= 0:
-            return 0
-
-        beta = 1e-8
-        alpha = None
-        iterations = 0
-        while (iterations < 30) or (
-            iterations <= 100 and alpha is not None and abs(alpha) < 1e-16
-        ):
-            filt = 1.0 / (sv2 * beta + 1.0)
-            zbeta = filt * bhat
-            f = float(np.sum(zbeta**2)) - thresh
-            if explicit_proj:
-                f += out_norm2
-            wbeta = filt * zbeta
-            f_prime = 2.0 / beta * float(zbeta @ (wbeta - zbeta))
-            beta_new = beta - f / f_prime
-            if abs(beta_new - beta) < 1e-12 * beta:
-                beta = beta_new
-                alpha = 1.0 / beta_new
-                break
-            beta = beta_new
-            alpha = 1.0 / beta_new
-            iterations += 1
-        return float(alpha)
+        return _dp_newton(Anew, bnew, out_norm2, thresh, explicit_proj)
 
     Q = np.asarray(dense_or_identity(Q), dtype=float)
     bhat = (Q.T @ b).reshape(-1)

@@ -37,6 +37,28 @@ def _gcv_terms(lam, R_A, R_L, bproj):
     return num, trace
 
 
+def gcv_tikhonov_projected(R_A, R_L, bproj, out_norm2=0.0, t_term=None,
+                           variant="standard"):
+    """GCV minimization given already-projected quantities.
+
+    Solvers call this directly so the (m, k) basis Q_A never leaves the
+    device — only R_A, R_L (k x k) and bproj (k,) come to host.
+    """
+    R_A = dense_or_identity(R_A)
+    R_L = dense_or_identity(R_L)
+    bproj = np.asarray(bproj, dtype=float).reshape(-1, 1)
+    if t_term is None:
+        t_term = float(R_A.shape[0])
+
+    def gcv_func(lam):
+        num, trace = _gcv_terms(lam, R_A, R_L, bproj)
+        if variant == "modified":
+            num = num + out_norm2
+        return num / (t_term - trace) ** 2
+
+    return float(sop.fminbound(gcv_func, 1e-9, 1e2, xtol=1e-12, maxfun=1000, disp=0))
+
+
 def generalized_crossvalidation(Q_A, R_A, R_L, b, **kwargs):
     """Returns lam (float) for 'tikhonov', or a truncation index (int)."""
     gcvtype = kwargs.get("gcvtype", "tikhonov")
@@ -55,20 +77,8 @@ def generalized_crossvalidation(Q_A, R_A, R_L, b, **kwargs):
             bproj = Q_A.T @ b
             out_norm2 = float(np.linalg.norm(b - Q_A @ bproj) ** 2)
 
-        if variant == "modified":
-            t_term = float(kwargs["fullsize"])
-        else:
-            t_term = float(R_A.shape[0])
-
-        def gcv_func(lam):
-            num, trace = _gcv_terms(lam, R_A, R_L, bproj)
-            if variant == "modified":
-                num = num + out_norm2
-            return num / (t_term - trace) ** 2
-
-        return float(
-            sop.fminbound(gcv_func, 1e-9, 1e2, xtol=1e-12, maxfun=1000, disp=0)
-        )
+        t_term = float(kwargs["fullsize"]) if variant == "modified" else float(R_A.shape[0])
+        return gcv_tikhonov_projected(R_A, R_L, bproj, out_norm2, t_term, variant)
 
     Q_A = np.asarray(Q_A, dtype=float)
     bhat = (Q_A.T @ b).reshape(-1)
@@ -98,7 +108,9 @@ def generalized_crossvalidation(Q_A, R_A, R_L, b, **kwargs):
         for i in range(n):
             running -= float(coeff[n - (i + 1)])
             den = (n - (i + 1) - (n - p)) ** 2
-            vals.append(running / den)
+            # den can hit 0 at the last index (reference divides by zero and
+            # gets inf through numpy); keep that semantics explicitly
+            vals.append(running / den if den != 0 else np.inf)
         return int(np.argmin(vals))
 
     raise ValueError(f"unknown gcvtype {gcvtype!r}")

@@ -41,8 +41,8 @@ def _term_derivs(M, c, x, dx, d2x):
     """(d/dlam, d2/dlam2) of ||M x_lam - c||^2."""
     r = M @ x - c
     Mdx = M @ dx
-    first = 2.0 * float(r.T @ Mdx)
-    second = 2.0 * float(Mdx.T @ Mdx + r.T @ (M @ d2x))
+    first = 2.0 * float(np.vdot(r, Mdx))
+    second = 2.0 * (float(np.vdot(Mdx, Mdx)) + float(np.vdot(r, M @ d2x)))
     return first, second
 
 

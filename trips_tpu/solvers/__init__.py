@@ -1,0 +1,21 @@
+"""Solver suite — API parity with trips/solvers/* of the reference."""
+from .cgls import CGLS
+from .direct import Tikhonov, tGSVD_sol, tSVD_sol
+from .gks import GKS
+from .hybrid import Hybrid_GMRES, Hybrid_LSQR
+from .mmgks import MMGKS
+from .projection import GMRES, Arnoldi_Tikhonov, Golub_Kahan_Tikhonov
+
+__all__ = [
+    "CGLS",
+    "GKS",
+    "GMRES",
+    "Arnoldi_Tikhonov",
+    "Golub_Kahan_Tikhonov",
+    "Hybrid_GMRES",
+    "Hybrid_LSQR",
+    "MMGKS",
+    "Tikhonov",
+    "tGSVD_sol",
+    "tSVD_sol",
+]
