@@ -18,8 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def golub_kahan(A, b, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "reorth"))
+def golub_kahan(A, b, n_iter: int, reorth: bool = False):
+    """reorth=True adds one full classical Gram-Schmidt reorthogonalization
+    per step (not in the reference — its GK loses orthogonality once Ritz
+    values converge, which silently corrupts DP/out-of-subspace estimates in
+    the hybrid solvers; see decompositions.py:118-205)."""
     m, n = A.shape
     b = jnp.reshape(b, (-1,))
     dtype = b.dtype
@@ -42,10 +46,15 @@ def golub_kahan(A, b, n_iter: int):
         beta_prev = jnp.where(k > 0, betas[jnp.maximum(k - 1, 0)], 0.0)
 
         v = A.rmatvec(u_k) - beta_prev * v_prev
+        if reorth:
+            # unused columns of V are zero, so the full product is safe
+            v = v - V @ (V.T @ v)
         alpha = jnp.linalg.norm(v)
         v = v / alpha
 
         u = A.matvec(v) - alpha * u_k
+        if reorth:
+            u = u - U @ (U.T @ u)
         beta = jnp.linalg.norm(u)
         u = u / beta
 

@@ -73,7 +73,7 @@ def Hybrid_LSQR(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     _require_delta(regparam, dp_stop, delta)
 
     m = A.shape[0]
-    U, B, V = golub_kahan(A, b, n_iter)
+    U, B, V = golub_kahan(A, b, n_iter, reorth=kwargs.get("reorth", False))
     Bh = host(B)
     beta = float(jnp.linalg.norm(b))
     # projected data: exact [beta, 0, ..., 0] by the GK relation
