@@ -131,3 +131,29 @@ def test_dynamic_synthetic_mmgks():
     x3, _ = MMGKS(op, b, None, pnorm=2, qnorm=1, projection_dim=4, n_iter=8,
                   regparam="gcv", GS="GS", prob_dims=(nx, ny, nt))
     assert relerr(x3, x_true) < 0.8
+
+
+def test_native_projector_matches_numpy():
+    """C++ Siddon builder vs the vectorized NumPy implementation."""
+    import trips_tpu.native as nat
+    from trips_tpu.problems import projector as pj
+
+    if nat.load() is None:
+        pytest.skip("native toolchain unavailable")
+    nx = 32
+    angles = np.linspace(0, np.pi, 12, endpoint=False)
+    p = int(np.sqrt(2) * nx)
+    so, od = 3 * nx, nx
+    d = (so + od) / so
+    A_native = nat.fan_beam_csr_native(nx, nx, angles, p, d, so, od)
+    Ap_native = nat.parallel_beam_csr_native(nx, nx, angles, nx, 1.0)
+    # force the numpy fallback
+    saved = (nat._lib, nat._tried)
+    nat._lib, nat._tried = None, True
+    try:
+        A_np = pj.fan_beam_matrix(nx, angles=angles)
+        Ap_np = pj.parallel_beam_matrix(nx, angles, model="line")
+    finally:
+        nat._lib, nat._tried = saved
+    assert abs(A_native - A_np).max() < 1e-10
+    assert abs(Ap_native - Ap_np).max() < 1e-10

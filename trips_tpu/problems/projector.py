@@ -108,6 +108,13 @@ def fan_beam_matrix(nx, ny=None, angles=None, det_count=None, det_width=None,
     od = origin_det if origin_det is not None else nx
     d = det_width if det_width is not None else (so + od) / so
 
+    from ..native import fan_beam_csr_native
+
+    A_native = fan_beam_csr_native(nx, ny, angles, p, d, so, od)
+    if A_native is not None:
+        A_native.sum_duplicates()
+        return A_native
+
     rows, cols, vals = [], [], []
     offs = (np.arange(p) - (p - 1) / 2) * d
     for ai, th in enumerate(angles):
@@ -139,6 +146,13 @@ def parallel_beam_matrix(nx, angles, det_count=None, det_width=1.0,
     ny = ny or nx
     angles = np.asarray(angles, dtype=float)
     p = det_count if det_count is not None else nx
+    if model == "line":
+        from ..native import parallel_beam_csr_native
+
+        A_native = parallel_beam_csr_native(nx, ny, angles, p, det_width)
+        if A_native is not None:
+            A_native.sum_duplicates()
+            return A_native
     offs = (np.arange(p) - (p - 1) / 2) * det_width
     far = 2.0 * (nx + ny)
 
