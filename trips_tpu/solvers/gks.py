@@ -88,6 +88,7 @@ def GKS(A, b, L, projection_dim=3, n_iter=50, regparam="gcv", x_true=None, **kwa
             "different stopping criterion."
         )
 
+    callback = kwargs.get("callback", None)
     L_is_identity = _is_identity_op(L)
     _, _, V = golub_kahan(A, b, projection_dim)
     AV = A.matmat(V)
@@ -141,6 +142,8 @@ def GKS(A, b, L, projection_dim=3, n_iter=50, regparam="gcv", x_true=None, **kwa
         for _ in range(3):
             r = r - V @ (V.T @ r)
         residual_history.append(float(jnp.linalg.norm(r)))
+        if callback is not None:
+            callback(ii, x=host(x), lam=lam, residual=residual_history[-1])
         vn = r / jnp.linalg.norm(r)
         V = jnp.concatenate([V, vn[:, None]], axis=1)
         AV = jnp.concatenate([AV, A.matvec(vn)[:, None]], axis=1)

@@ -106,6 +106,9 @@ def Hybrid_LSQR(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
         y = stacked_lstsq(Bk, lam, np.eye(k), bhat_k)
         x = V[:, :k] @ jnp.asarray(y)
         x_history.append(x)
+        cb = kwargs.get("callback", None)
+        if cb is not None:
+            cb(ii, lam=lam)
         if regparam == "dp" and dp_stop:
             # reference quirk: unconditional early stop on the first
             # regularized DP iteration (Hybrid_LSQR.py:85-93)

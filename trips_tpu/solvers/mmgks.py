@@ -42,6 +42,7 @@ def MMGKS(A, b, L, pnorm=2, qnorm=1, projection_dim=3, n_iter=5,
             "or choose the regularization parameter according to gcv."
         )
 
+    callback = kwargs.get("callback", None)
     iso_tv_on = iso_tv in ("isoTV", "ISOTV", "IsoTV")
     gs_on = gs in ("GS", "gs", "Gs")
     if (iso_tv_on or gs_on) and prob_dims is False:
@@ -111,6 +112,8 @@ def MMGKS(A, b, L, pnorm=2, qnorm=1, projection_dim=3, n_iter=5,
         for _ in range(2):
             r = r - V @ (V.T @ r)
         residual_history.append(float(jnp.linalg.norm(r)))
+        if callback is not None:
+            callback(ii, x=host(x), lam=lam, residual=residual_history[-1])
         vn = r / jnp.linalg.norm(r)
         V = jnp.concatenate([V, vn[:, None]], axis=1)
         AV = jnp.concatenate([AV, A.matvec(vn)[:, None]], axis=1)

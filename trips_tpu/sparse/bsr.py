@@ -1,16 +1,22 @@
 """Block-sparse (BSR) operator with MXU-sized dense blocks.
 
 The TPU answer to unstructured sparsity: instead of scalar gathers (which the
-TPU vector unit hates), the matrix is tiled into ``bs x bs`` dense blocks and
-only nonzero blocks are stored. Every apply is then a stream of small dense
-matmuls that ride the MXU, and the nnz/s ceiling is HBM bandwidth on the
-block stream. Tomography projectors (reference: ASTRA ``OpTomo`` matvecs,
-``trips/test_problems/Tomography.py:73-88``) have strong block locality
-(neighboring detector rays cross neighboring pixels), so stored-block density
-stays high enough for this to beat gather-ELL by a wide margin on TPU.
+TPU vector unit hates), the matrix is tiled into ``br x bc`` dense blocks
+(bc = 128 lanes; br = 8..128 sublanes — tomography projectors pack much
+denser with short-row blocks) and only nonzero blocks are stored. Every
+apply is a stream of small dense contractions riding the MXU, and the nnz/s
+ceiling is HBM bandwidth on the block stream.
 
-Blocks are sorted row-major (CSR of blocks); the transpose partition is
-materialized for the adjoint apply per the BASELINE design.
+The adjoint apply reuses the *forward* block stream with a transposed
+per-block contraction, scatter-accumulated into the output (which fits VMEM
+whole): no materialized transpose partition is needed on a single chip. In
+the sharded setting each chip still contracts its local row-partition and
+partial sums are psum'd — the BASELINE "transpose partition" collapses to
+the same stream.
+
+Replaces the reference's scipy CSR storage + matvec (ASTRA ``OpTomo``
+applies, ``trips/test_problems/Tomography.py:73-88``; dynamic CT matrices,
+``trips/utilities/io.py:132-134``).
 """
 from __future__ import annotations
 
@@ -27,102 +33,129 @@ def _acc_dtype(a, b):
     return jnp.promote_types(d, jnp.float32)
 
 
-def _build_bsr(A, bs):
-    """scipy CSR -> (blocks, brow, bcol, block_rowptr) numpy arrays."""
-    from scipy import sparse as sp
+def _build_bsr(A, br, bc=None):
+    """scipy sparse -> (blocks, brow, bcol, block_rowptr, mb, nbk) numpy.
 
+    Vectorized direct construction (scipy's ``tobsr`` expands through COO
+    and is ~100x slower at MXU-sized blocks).
+    """
+    bc = bc if bc is not None else br
+    coo = A.tocoo()
     m, n = A.shape
-    mb = -(-m // bs)
-    nb = -(-n // bs)
-    Ap = sp.csr_matrix(A)
-    # pad to multiples of bs
-    Ap.resize((mb * bs, nb * bs))
-    B = Ap.tobsr(blocksize=(bs, bs))
-    B.sort_indices()
-    blocks = np.ascontiguousarray(B.data)  # (nblocks, bs, bs)
-    bcol = B.indices.astype(np.int32)
-    rowptr = B.indptr.astype(np.int32)
-    counts = np.diff(rowptr)
-    # Insert an explicit zero block into every empty block-row so the Pallas
-    # kernel writes (initializes) every output tile exactly once.
-    empty = np.where(counts == 0)[0]
-    if empty.size:
-        ins_pos = rowptr[empty]
-        blocks = np.insert(blocks, ins_pos, np.zeros((bs, bs), dtype=blocks.dtype), axis=0)
-        bcol = np.insert(bcol, ins_pos, 0)
-        counts[empty] = 1
-        rowptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    brow = np.repeat(np.arange(mb, dtype=np.int32), counts)
-    return blocks, brow, bcol, rowptr, mb, nb
+    mb = -(-m // br)
+    nbk = -(-n // bc)
+    bid = (coo.row // br).astype(np.int64) * nbk + coo.col // bc
+    uniq = np.unique(bid)
+    nb = len(uniq)
+    blocks = np.zeros((nb, br, bc), dtype=A.dtype)
+    local = np.searchsorted(uniq, bid)
+    blocks[local, coo.row % br, coo.col % bc] = coo.data
+    brow = (uniq // nbk).astype(np.int32)
+    bcol = (uniq % nbk).astype(np.int32)
+    counts = np.bincount(brow, minlength=mb)
+    rowptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return blocks, brow, bcol, rowptr, mb, nbk
 
 
 class BsrOperator(LinearOperator):
-    """Row-major block-sparse operator (forward + transpose partitions)."""
+    """Row-major block-sparse operator (single stored partition)."""
 
-    def __init__(self, blocks, brow, bcol, rowptr, blocks_t, brow_t, bcol_t,
-                 rowptr_t, shape, bs, nnz):
+    def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz):
         self.blocks = jnp.asarray(blocks)
         self.brow = jnp.asarray(brow)
         self.bcol = jnp.asarray(bcol)
         self.rowptr = jnp.asarray(rowptr)
-        self.blocks_t = jnp.asarray(blocks_t)
-        self.brow_t = jnp.asarray(brow_t)
-        self.bcol_t = jnp.asarray(bcol_t)
-        self.rowptr_t = jnp.asarray(rowptr_t)
         self.shape = tuple(shape)
-        self.bs = bs
+        self.block_shape = tuple(block_shape)
         self.nnz = nnz
 
     @classmethod
-    def from_scipy(cls, A, bs: int = 128, dtype=None, block_dtype=None):
+    def from_scipy(cls, A, bs: int = None, dtype=None, block_dtype=None,
+                   block_shape=None):
         from scipy import sparse as sp
 
+        if block_shape is not None:
+            br, bc = block_shape
+        elif bs is not None:
+            br, bc = bs, bs
+        else:
+            br, bc = 16, 128
         A = sp.csr_matrix(A)
         if dtype is not None:
             A = A.astype(dtype)
         nnz = A.nnz
-        blocks, brow, bcol, rowptr, _, _ = _build_bsr(A, bs)
-        blocks_t, brow_t, bcol_t, rowptr_t, _, _ = _build_bsr(A.T.tocsr(), bs)
+        blocks, brow, bcol, rowptr, _, _ = _build_bsr(A, br, bc)
         if block_dtype is not None:
             blocks = blocks.astype(block_dtype)
-            blocks_t = blocks_t.astype(block_dtype)
-        return cls(blocks, brow, bcol, rowptr, blocks_t, brow_t, bcol_t,
-                   rowptr_t, A.shape, bs, nnz)
+        return cls(blocks, brow, bcol, rowptr, A.shape, (br, bc), nnz)
 
     @property
     def stored_density(self):
-        """nnz / stored block capacity — the MXU utilization factor."""
-        cap = self.blocks.shape[0] * self.bs * self.bs
-        return self.nnz / max(cap, 1)
+        """nnz / stored block capacity — the bandwidth utilization factor."""
+        br, bc = self.block_shape
+        return self.nnz / max(self.blocks.shape[0] * br * bc, 1)
 
-    # -- applies ---------------------------------------------------------
-    def _apply(self, blocks, brow, bcol, x, m_out):
-        bs = self.bs
-        nb_out = -(-m_out // bs)
-        acc = _acc_dtype(blocks.dtype, x.dtype)
-        xp = jnp.pad(x, (0, (-x.shape[0]) % bs))
-        xb = xp.reshape(-1, bs)
-        gathered = xb[bcol]  # (nblocks, bs)
-        prod = jnp.einsum(
-            "nij,nj->ni", blocks, gathered, preferred_element_type=acc
-        )
-        y = jax.ops.segment_sum(prod, brow, num_segments=nb_out)
+    @property
+    def stored_bytes(self):
+        return self.blocks.size * self.blocks.dtype.itemsize
+
+    # -- XLA applies (CPU backends / fallback) ---------------------------
+    def _apply(self, x, transpose):
+        br, bc = self.block_shape
+        m_out = self.shape[1] if transpose else self.shape[0]
+        acc = _acc_dtype(self.blocks.dtype, x.dtype)
+        if transpose:
+            xp = jnp.pad(x, (0, (-x.shape[0]) % br))
+            xb = xp.reshape(-1, br)
+            gathered = xb[self.brow]  # (nb, br)
+            prod = jnp.einsum(
+                "nij,ni->nj", self.blocks, gathered,
+                preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            seg, width = self.bcol, bc
+        else:
+            xp = jnp.pad(x, (0, (-x.shape[0]) % bc))
+            xb = xp.reshape(-1, bc)
+            gathered = xb[self.bcol]  # (nb, bc)
+            prod = jnp.einsum(
+                "nij,nj->ni", self.blocks, gathered,
+                preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            seg, width = self.brow, br
+        nb_out = -(-m_out // width)
+        y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
         return y.reshape(-1)[:m_out].astype(x.dtype)
 
-    def _apply_mat(self, blocks, brow, bcol, X, m_out):
-        bs = self.bs
-        nb_out = -(-m_out // bs)
+    def _apply_mat(self, X, transpose):
+        br, bc = self.block_shape
+        m_out = self.shape[1] if transpose else self.shape[0]
+        acc = _acc_dtype(self.blocks.dtype, X.dtype)
         k = X.shape[1]
-        acc = _acc_dtype(blocks.dtype, X.dtype)
-        Xp = jnp.pad(X, (((0, (-X.shape[0]) % bs), (0, 0))))
-        Xb = Xp.reshape(-1, bs, k)
-        gathered = Xb[bcol]  # (nblocks, bs, k)
-        prod = jnp.einsum(
-            "nij,njk->nik", blocks, gathered, preferred_element_type=acc
-        )
-        Y = jax.ops.segment_sum(prod, brow, num_segments=nb_out)
+        if transpose:
+            Xp = jnp.pad(X, ((0, (-X.shape[0]) % br), (0, 0)))
+            Xb = Xp.reshape(-1, br, k)
+            prod = jnp.einsum(
+                "nij,nik->njk", self.blocks, Xb[self.brow],
+                preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            seg, width = self.bcol, bc
+        else:
+            Xp = jnp.pad(X, ((0, (-X.shape[0]) % bc), (0, 0)))
+            Xb = Xp.reshape(-1, bc, k)
+            prod = jnp.einsum(
+                "nij,njk->nik", self.blocks, Xb[self.bcol],
+                preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            seg, width = self.brow, br
+        nb_out = -(-m_out // width)
+        Y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
         return Y.reshape(-1, k)[:m_out].astype(X.dtype)
 
+    # -- public applies ---------------------------------------------------
     def matvec(self, x):
         from .pallas_spmv import bsr_matvec
 
@@ -134,20 +167,20 @@ class BsrOperator(LinearOperator):
         return bsr_matvec(self, y, transpose=True)
 
     def matvec_xla(self, x):
-        return self._apply(self.blocks, self.brow, self.bcol, x, self.shape[0])
+        return self._apply(x, transpose=False)
 
     def rmatvec_xla(self, y):
-        return self._apply(self.blocks_t, self.brow_t, self.bcol_t, y, self.shape[1])
+        return self._apply(y, transpose=True)
 
     def matmat(self, X):
-        return self._apply_mat(self.blocks, self.brow, self.bcol, X, self.shape[0])
+        return self._apply_mat(X, transpose=False)
 
     def rmatmat(self, Y):
-        return self._apply_mat(self.blocks_t, self.brow_t, self.bcol_t, Y, self.shape[1])
+        return self._apply_mat(Y, transpose=True)
 
 
 register_op(
     BsrOperator,
-    ["blocks", "brow", "bcol", "rowptr", "blocks_t", "brow_t", "bcol_t", "rowptr_t"],
-    ["shape", "bs", "nnz"],
+    ["blocks", "brow", "bcol", "rowptr"],
+    ["shape", "block_shape", "nnz"],
 )

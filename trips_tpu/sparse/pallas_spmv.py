@@ -1,14 +1,18 @@
-"""Pallas TPU kernels for block-sparse SpMV.
+"""Pallas TPU kernels for block-sparse SpMV (forward and adjoint).
 
-One grid step per stored block: the Pallas pipeline double-buffers the block
-stream HBM->VMEM while the MXU contracts the previous block, so throughput is
-HBM-bandwidth-bound (the speed-of-light for SpMV). Output tiles are revisited
-consecutively (blocks are CSR-sorted by block-row) and accumulated in VMEM;
-`_build_bsr` guarantees every block-row owns at least one stored block so
-each output tile is initialized exactly once.
+Grid steps stream groups of G stored blocks HBM->VMEM; the Pallas pipeline
+double-buffers the stream while the MXU contracts the previous group, so
+throughput is HBM-bandwidth-bound on the block stream — the speed-of-light
+regime for SpMV. x and y live whole in VMEM (a 256x256 tomography problem
+needs ~0.3 MB, far under the ~16 MB budget); block row/column ids are
+scalar-prefetched into SMEM and drive dynamic VMEM indexing.
 
-Replaces the reference's scipy CSR matvec (``A @ v`` / ``A.T @ u`` inside all
-Krylov loops, e.g. ``trips/utilities/decompositions.py:177-183``).
+The adjoint kernel consumes the *same* forward block stream with the
+contraction transposed and scatter-accumulates into the VMEM-resident
+output — no transpose partition is stored.
+
+Replaces the reference's scipy CSR matvec (``A @ v`` / ``A.T @ u`` inside
+all Krylov loops, e.g. ``trips/utilities/decompositions.py:177-183``).
 """
 from __future__ import annotations
 
@@ -16,8 +20,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+# blocks per grid step; Mosaic tiles rank-1 s32 SMEM operands by 1024
+GROUP = int(os.environ.get("TRIPS_TPU_SPMV_GROUP", "1024"))
 
 
 def _use_pallas() -> bool:
@@ -27,53 +37,79 @@ def _use_pallas() -> bool:
         return False
 
 
-def _spmv_kernel(brow_ref, bcol_ref, block_ref, x_ref, y_ref):
-    n = pl.program_id(0)
-    row = brow_ref[n]
-    prev = brow_ref[jnp.maximum(n - 1, 0)]
-    first = jnp.logical_or(n == 0, row != prev)
+def _make_kernel(G, transpose):
+    def kernel(brow_ref, bcol_ref, block_ref, x_ref, y_ref):
+        n = pl.program_id(0)
 
-    blk = block_ref[0]
-    xv = x_ref[:]  # (1, bs)
-    contrib = jax.lax.dot_general(
-        xv.astype(blk.dtype),
-        blk,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, bs)
+        @pl.when(n == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
 
-    @pl.when(first)
-    def _():
-        y_ref[...] = contrib
+        for g in range(G):
+            row = brow_ref[g]
+            colb = bcol_ref[g]
+            blk = block_ref[g]  # (br, bc)
+            if transpose:
+                xseg = x_ref[row, :]  # (br,)
+                contrib = jax.lax.dot_general(
+                    xseg[None, :].astype(blk.dtype), blk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (1, bc)
+                y_ref[colb, :] += contrib[0]
+            else:
+                xseg = x_ref[colb, :]  # (bc,)
+                contrib = jax.lax.dot_general(
+                    blk, xseg[:, None].astype(blk.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (br, 1)
+                y_ref[row, :] += contrib[:, 0]
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        y_ref[...] = y_ref[...] + contrib
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("bs", "m_out"))
-def _pallas_bsr_matvec(blocks, brow, bcol, x, bs, m_out):
+@partial(jax.jit, static_argnames=("br", "bc", "m_out", "transpose"))
+def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose):
     nblocks = blocks.shape[0]
-    mb = -(-m_out // bs)
-    xp = jnp.pad(x, (0, (-x.shape[0]) % bs))
-    xb = xp.reshape(-1, bs)
+    G = GROUP
+    npad = (-nblocks) % G
+    if npad:
+        # pad with zero blocks (accumulate zeros into tile 0 — harmless)
+        blocks = jnp.pad(blocks, ((0, npad), (0, 0), (0, 0)))
+        brow = jnp.pad(brow, (0, npad))
+        bcol = jnp.pad(bcol, (0, npad))
+    ngroups = (nblocks + npad) // G
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
+    in_width = br if transpose else bc
+    out_width = bc if transpose else br
+    mb = -(-m_out // out_width)
+    xp = jnp.pad(x, (0, (-x.shape[0]) % in_width)).astype(jnp.float32)
+    xb = xp.reshape(-1, in_width)
+
+    # block ids ride along in per-group SMEM tiles (they would overflow SMEM
+    # as whole-array scalar prefetch once nblocks exceeds ~250k)
+    grid_spec = pl.GridSpec(
+        grid=(ngroups,),
         in_specs=[
-            pl.BlockSpec((1, bs, bs), lambda n, brow, bcol: (n, 0, 0)),
-            pl.BlockSpec((1, bs), lambda n, brow, bcol: (bcol[n], 0)),
+            pl.BlockSpec((G,), lambda n: (n,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G,), lambda n: (n,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (G, br, bc), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
         ],
-        out_specs=pl.BlockSpec((1, bs), lambda n, brow, bcol: (brow[n], 0)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # y whole
     )
     yb = pl.pallas_call(
-        _spmv_kernel,
+        _make_kernel(G, transpose),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mb, bs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mb, out_width), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nblocks * bs * bs,
-            bytes_accessed=nblocks * bs * bs * blocks.dtype.itemsize,
+            flops=2 * nblocks * br * bc,
+            bytes_accessed=nblocks * br * bc * blocks.dtype.itemsize,
             transcendentals=0,
         ),
     )(brow, bcol, blocks, xb)
@@ -82,10 +118,9 @@ def _pallas_bsr_matvec(blocks, brow, bcol, x, bs, m_out):
 
 def bsr_matvec(op, x, transpose: bool):
     """Dispatch: Pallas kernel on TPU, XLA segment-sum elsewhere."""
-    if transpose:
-        blocks, brow, bcol, m_out = op.blocks_t, op.brow_t, op.bcol_t, op.shape[1]
-    else:
-        blocks, brow, bcol, m_out = op.blocks, op.brow, op.bcol, op.shape[0]
     if _use_pallas():
-        return _pallas_bsr_matvec(blocks, brow, bcol, x, op.bs, m_out)
-    return op._apply(blocks, brow, bcol, x, m_out)
+        br, bc = op.block_shape
+        m_out = op.shape[1] if transpose else op.shape[0]
+        return _pallas_bsr_apply(op.blocks, op.brow, op.bcol, x, br, bc,
+                                 m_out, transpose)
+    return op._apply(x, transpose)
