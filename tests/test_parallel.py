@@ -81,3 +81,29 @@ def test_sharded_dynamic_cgls_with_tv(rng, mesh24):
     for _ in range(3):
         x, gn = step(sop, bv, x)
     assert np.isfinite(float(gn))
+
+
+def test_gks_with_sharded_operator(rng, mesh8):
+    """GKS end-to-end over a row-sharded device operator."""
+    from trips_tpu.operators import FirstDerivative1D
+    from trips_tpu.solvers import GKS
+
+    n = 96
+    rngs = np.random.RandomState(3)
+    D = np.diag(np.logspace(0, -3, n))
+    Q1, _ = np.linalg.qr(rngs.randn(n, n))
+    Q2, _ = np.linalg.qr(rngs.randn(n, n))
+    A = Q1 @ D @ Q2.T
+    xt = np.sin(np.linspace(0, 3, n))
+    b = A @ xt + 0.01 * rngs.randn(n)
+    op = EllOperator.from_dense(A)
+    sop = ShardedEllOperator.from_ell(op, mesh8)
+    L = FirstDerivative1D(n)
+    x0, info0 = GKS(op, jnp.asarray(b), L, projection_dim=3, n_iter=8,
+                    regparam="gcv")
+    x, info = GKS(sop, jnp.asarray(b), L, projection_dim=3, n_iter=8,
+                  regparam="gcv")
+    # sharded run reproduces the single-device run
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), np.asarray(x0).reshape(-1), atol=1e-6
+    )

@@ -43,10 +43,17 @@ def gcv_tikhonov_projected(R_A, R_L, bproj, out_norm2=0.0, t_term=None,
 
     Solvers call this directly so the (m, k) basis Q_A never leaves the
     device — only R_A, R_L (k x k) and bproj (k,) come to host.
+
+    ``variant='standard-cols'`` uses cols(R_A) instead of rows(R_A) in the
+    trace term — the reference ships this as the (unused) ``gcv_new.py``
+    variant (``gcv_new.py:76`` vs ``gcv.py:76``); exposed here for parity.
     """
     R_A = dense_or_identity(R_A)
     R_L = dense_or_identity(R_L)
     bproj = np.asarray(bproj, dtype=float).reshape(-1, 1)
+    if variant == "standard-cols":
+        t_term = float(R_A.shape[1])
+        variant = "standard"
     if t_term is None:
         t_term = float(R_A.shape[0])
 

@@ -45,7 +45,7 @@ def _make_kernel(G, transpose):
         def _():
             y_ref[...] = jnp.zeros_like(y_ref)
 
-        for g in range(G):
+        def body(g, _):
             row = brow_ref[g]
             colb = bcol_ref[g]
             blk = block_ref[g]  # (br, bc)
@@ -67,6 +67,9 @@ def _make_kernel(G, transpose):
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (br, 1)
                 y_ref[row, :] += contrib[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
 
     return kernel
 
