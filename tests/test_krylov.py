@@ -90,3 +90,27 @@ def test_cgls_early_stop(rng):
     _, k_np, _ = cgls_np(A, b, x0, 1000, 1e-3)
     assert abs(int(k) - k_np) <= 1  # stop fires within one iteration of oracle
     assert int(k) < 1000
+
+
+def test_lsqr_matches_scipy(rng):
+    from scipy.sparse.linalg import lsqr as scipy_lsqr
+
+    from trips_tpu.krylov import lsqr
+
+    A, xt, b = make_illposed(rng, 60, 40)
+    x, k = lsqr(DenseOperator(A), jnp.asarray(b), 200, damp=0.0,
+                atol=1e-10, btol=1e-10)
+    x_sp = scipy_lsqr(A, b, damp=0.0, atol=1e-10, btol=1e-10, iter_lim=200)[0]
+    np.testing.assert_allclose(np.asarray(x), x_sp, atol=1e-5)
+
+
+def test_lsqr_damped(rng):
+    from trips_tpu.krylov import lsqr
+    import scipy.linalg as sla
+
+    A, xt, b = make_illposed(rng, 50, 30)
+    damp = 0.1
+    x, k = lsqr(DenseOperator(A), jnp.asarray(b), 500, damp=damp,
+                atol=1e-12, btol=1e-12)
+    x_direct = sla.solve(A.T @ A + damp**2 * np.eye(30), A.T @ b)
+    np.testing.assert_allclose(np.asarray(x), x_direct, atol=1e-6)

@@ -1,5 +1,6 @@
 from .arnoldi import arnoldi
 from .cgls import cgls, cgls_history
 from .golub_kahan import golub_kahan
+from .lsqr import lsqr
 
-__all__ = ["arnoldi", "cgls", "cgls_history", "golub_kahan"]
+__all__ = ["arnoldi", "cgls", "cgls_history", "golub_kahan", "lsqr"]
