@@ -9,6 +9,7 @@ from .derivatives import (
     spacetime_derivative_matrix,
 )
 from .framelet import FrameletOperator, analysis_matrix
+from .projector_op import OnTheFlyFanProjector, OnTheFlyParallelProjector
 from .weights import (
     CenteredDerivative2D,
     gs_weights,
@@ -24,6 +25,8 @@ __all__ = [
     "FirstDerivative1D",
     "FirstDerivative2D",
     "FrameletOperator",
+    "OnTheFlyFanProjector",
+    "OnTheFlyParallelProjector",
     "SpaceTimeDerivative",
     "analysis_matrix",
     "defocus_psf_1d",
