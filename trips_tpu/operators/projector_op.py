@@ -24,6 +24,18 @@ import numpy as np
 
 from ..core.linop import LinearOperator, register_op
 
+# Contraction precision for the on-the-fly projectors. HIGHEST costs ~6 MXU
+# passes for true-f32 multiplies; HIGH (3 passes) keeps ~1e-5 relative
+# accuracy which is ample under measurement noise. Override via
+# TRIPS_TPU_PROJ_PRECISION=default|high|highest.
+import os as _os
+
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("TRIPS_TPU_PROJ_PRECISION", "high").lower()]
+
 
 def _angle_params(theta, nx, ny, det_count, det_width):
     """Per-angle affine map for the Joseph crossing position.
@@ -65,10 +77,12 @@ class OnTheFlyParallelProjector(LinearOperator):
     supported (square grids, as in every reference config).
     """
 
-    def __init__(self, nx, angles, det_count=None, det_width=1.0, ny=None):
+    def __init__(self, nx, angles, det_count=None, det_width=1.0, ny=None,
+                 dtype=None):
         ny = ny or nx
         if ny != nx:
             raise NotImplementedError("square grids only")
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         self.nx, self.ny = nx, ny
         self.det_count = det_count if det_count is not None else nx
         self.det_width = float(det_width)
@@ -89,10 +103,10 @@ class OnTheFlyParallelProjector(LinearOperator):
             pds.append(Pd)
             steps.append(step)
         self.drive_is_y = jnp.asarray(drive)
-        self.P0 = jnp.asarray(p0s)
-        self.Pi = jnp.asarray(pis)
-        self.Pd = jnp.asarray(pds)
-        self.step = jnp.asarray(steps)
+        self.P0 = jnp.asarray(p0s, dtype)
+        self.Pi = jnp.asarray(pis, dtype)
+        self.Pd = jnp.asarray(pds, dtype)
+        self.step = jnp.asarray(steps, dtype)
 
     # -- the on-the-fly interpolation tensor for one angle ---------------
     def _interp(self, a_idx):
@@ -124,7 +138,7 @@ class OnTheFlyParallelProjector(LinearOperator):
             Xd = self._image_for_angle(X, a_idx)  # (i, c)
             return jnp.einsum(
                 "idc,ic->d", M, Xd,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_PREC,
             )
 
         y = jax.lax.map(one_angle, jnp.arange(n_ang))
@@ -139,7 +153,7 @@ class OnTheFlyParallelProjector(LinearOperator):
             M = self._interp(a_idx)  # (i, d, c)
             Xd = jnp.einsum(
                 "idc,d->ic", M, Y[a_idx],
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_PREC,
             )
             return jax.lax.cond(
                 self.drive_is_y[a_idx], lambda: Xd, lambda: Xd.T
@@ -255,9 +269,9 @@ class OnTheFlyFanProjector(LinearOperator):
         def one_angle(a):
             Wy, Wx = self._weights(a)
             ya = jnp.einsum("idc,ic->d", Wy, X,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_PREC)
             ya += jnp.einsum("jdr,rj->d", Wx, X,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_PREC)
             return ya
 
         y = jax.lax.map(one_angle, jnp.arange(self.n_angles))
@@ -269,9 +283,9 @@ class OnTheFlyFanProjector(LinearOperator):
         def one_angle(a):
             Wy, Wx = self._weights(a)
             Xi = jnp.einsum("idc,d->ic", Wy, Y[a],
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_PREC)
             Xj = jnp.einsum("jdr,d->rj", Wx, Y[a],
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_PREC)
             return Xi + Xj
 
         Xs = jax.lax.map(one_angle, jnp.arange(self.n_angles))
