@@ -65,3 +65,17 @@ def check_operator_type(A):
     if hasattr(A, "toarray"):
         return A.toarray()
     return np.asarray(A)
+
+
+def operator_qr(A):
+    """QR of a (densified) operator (reference operators.py:119-127)."""
+    import scipy.linalg as sla
+
+    return sla.qr(check_operator_type(A), mode="economic")
+
+
+def operator_svd(A):
+    """SVD of a (densified) operator (reference operators.py:130-140)."""
+    import scipy.linalg as sla
+
+    return sla.svd(check_operator_type(A), full_matrices=False)
