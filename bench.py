@@ -1,12 +1,21 @@
 """Benchmark: nnz/s per chip for SpMV inside the fused CGLS loop.
 
 Config: the reference's large-scale tomography demo
-(demo_Tomo_large_scale.ipynb — 256x256 image, 60 fan-beam views; see
-SURVEY.md §6). Each CGLS iteration performs one A·p and one A^T·r, so the
-metric is iterations * 2 * nnz / wall_seconds.
+(demo_Tomo_large_scale.ipynb — 256x256 image, 60 fan-beam views; SURVEY.md
+§6). Each CGLS iteration performs one A·p and one A^T·r, so the metric is
+iterations * 2 * nnz / wall_seconds, measured inside the fused
+``lax.while_loop`` CGLS (the whole loop is one device program).
 
-Baseline: scipy.sparse CSR on the host CPU — the reference's compute
-substrate for matrix-based problems. ``vs_baseline`` = ours / scipy.
+Two device paths are tried and the best is reported:
+- BSR (8, 32) blocks via the XLA einsum + segment-sum apply;
+- the on-the-fly fan-beam projector (weights generated in-register, no
+  stored matrix).
+
+Baseline: scipy.sparse CSR CGLS on the host CPU — the reference's compute
+substrate. ``vs_baseline`` = ours / scipy.
+
+Note: the bench chip is pooled/shared; absolute numbers swing with
+contention (see CLAUDE.md).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 """
@@ -21,12 +30,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def scipy_baseline(A, b, iters=30):
+def scipy_cgls_rate(A, b, iters=30):
     x = np.zeros(A.shape[1], dtype=A.dtype)
     r = b - A @ x
     p = t = A.T @ r
     gamma = float(t @ t)
-    # warm cache
     _ = A @ p
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -43,33 +51,37 @@ def scipy_baseline(A, b, iters=30):
     return iters * 2 * A.nnz / dt, dt
 
 
-def device_cgls_rate(op, b, iters, jax, jnp):
+def device_cgls_rate(op, b, nnz, iters, jax, jnp, label):
     from trips_tpu.krylov import cgls
 
     x0 = jnp.zeros(op.shape[1], b.dtype)
-    # compile + warmup
+    t0 = time.perf_counter()
     x, k = cgls(op, b, x0, 2, 0.0)
     jax.block_until_ready(x)
+    log(f"  [{label}] compile+warmup {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     x, k = cgls(op, b, x0, iters, 0.0)
     jax.block_until_ready(x)
     dt = time.perf_counter() - t0
-    return int(k) * 2 * op.nnz / dt, dt, int(k)
+    rate = int(k) * 2 * nnz / dt
+    log(f"  [{label}] CGLS {int(k)} iters in {dt:.2f}s -> {rate/1e9:.3f} Gnnz/s")
+    return rate
 
 
 def main():
     nx, views, iters = 256, 60, 30
-    log(f"building fan-beam matrix {nx}x{nx}, {views} views ...")
     t0 = time.perf_counter()
     from trips_tpu.problems.phantoms import grains
     from trips_tpu.problems.projector import fan_beam_matrix
 
     A = fan_beam_matrix(nx, views=views).astype(np.float32)
-    log(f"  A {A.shape} nnz={A.nnz} built in {time.perf_counter()-t0:.1f}s")
+    log(f"A {A.shape} nnz={A.nnz} built in {time.perf_counter()-t0:.1f}s")
     x_true = grains(nx, seed=0).reshape(-1).astype(np.float32)
     b_host = (A @ x_true).astype(np.float32)
 
-    base_rate, base_dt = scipy_baseline(A.astype(np.float64), b_host.astype(np.float64), iters)
+    base_rate, base_dt = scipy_cgls_rate(
+        A.astype(np.float64), b_host.astype(np.float64), iters
+    )
     log(f"scipy CSR baseline: {base_rate/1e9:.3f} Gnnz/s ({base_dt:.2f}s)")
 
     import jax
@@ -79,33 +91,45 @@ def main():
     log(f"jax backend: {platform} {jax.devices()}")
     b = jnp.asarray(b_host)
 
-    from trips_tpu.sparse import BsrOperator, EllOperator
-
     candidates = {}
-    try:
-        ell = EllOperator.from_scipy(A)
-        rate, dt, k = device_cgls_rate(ell, b, iters, jax, jnp)
-        candidates["ell"] = rate
-        log(f"ELL gather SpMV: {rate/1e9:.3f} Gnnz/s ({dt:.2f}s, {k} iters)")
-    except Exception as e:
-        log(f"ELL path failed: {type(e).__name__}: {e}")
 
-    if platform == "tpu":
-        for bdt, name in ((np.float32, "bsr_f32"),):
-            try:
-                bsr = BsrOperator.from_scipy(A, block_dtype=bdt)
-                log(f"  BSR stored density {bsr.stored_density:.3f} "
-                    f"({bsr.blocks.shape[0]} blocks)")
-                rate, dt, k = device_cgls_rate(bsr, b, iters, jax, jnp)
-                candidates[name] = rate
-                log(f"BSR Pallas SpMV [{name}]: {rate/1e9:.3f} Gnnz/s ({dt:.2f}s)")
-            except Exception as e:
-                log(f"BSR path [{name}] failed: {type(e).__name__}: {e}")
+    # path 1: on-the-fly fan projector (no stored matrix)
+    try:
+        from trips_tpu.operators import OnTheFlyFanProjector
+
+        otf = OnTheFlyFanProjector(nx, views=views, dtype=jnp.float32)
+        candidates["onthefly_fan"] = device_cgls_rate(
+            otf, b, A.nnz, iters, jax, jnp, "onthefly_fan"
+        )
+    except Exception as e:
+        log(f"on-the-fly path failed: {type(e).__name__}: {e}")
+
+    # path 2: stored block-sparse stream
+    try:
+        from trips_tpu.sparse import BsrOperator, EllOperator
+
+        if platform == "tpu":
+            t0 = time.perf_counter()
+            op = BsrOperator.from_scipy(A, block_shape=(8, 32), prefer_pallas=False)
+            log(f"BSR(8,32): {op.blocks.shape[0]} blocks, "
+                f"{op.stored_bytes/1e9:.2f} GB, build {time.perf_counter()-t0:.0f}s")
+            candidates["bsr_xla"] = device_cgls_rate(
+                op, b, A.nnz, iters, jax, jnp, "bsr_xla"
+            )
+        else:
+            op = EllOperator.from_scipy(A)
+            candidates["ell"] = device_cgls_rate(
+                op, b, A.nnz, iters, jax, jnp, "ell"
+            )
+    except Exception as e:
+        log(f"stored-matrix path failed: {type(e).__name__}: {e}")
 
     if not candidates:
         log("no device path succeeded")
         sys.exit(1)
-    best = max(candidates.values())
+    best_name = max(candidates, key=candidates.get)
+    best = candidates[best_name]
+    log(f"best path: {best_name}")
     print(json.dumps({
         "metric": "spmv_nnz_per_s_cgls_tomo256x60",
         "value": round(best, 1),

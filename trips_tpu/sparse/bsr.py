@@ -60,7 +60,8 @@ def _build_bsr(A, br, bc=None):
 class BsrOperator(LinearOperator):
     """Row-major block-sparse operator (single stored partition)."""
 
-    def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz):
+    def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz,
+                 prefer_pallas=True):
         self.blocks = jnp.asarray(blocks)
         self.brow = jnp.asarray(brow)
         self.bcol = jnp.asarray(bcol)
@@ -68,10 +69,11 @@ class BsrOperator(LinearOperator):
         self.shape = tuple(shape)
         self.block_shape = tuple(block_shape)
         self.nnz = nnz
+        self.prefer_pallas = prefer_pallas
 
     @classmethod
     def from_scipy(cls, A, bs: int = None, dtype=None, block_dtype=None,
-                   block_shape=None):
+                   block_shape=None, prefer_pallas=True):
         from scipy import sparse as sp
 
         if block_shape is not None:
@@ -87,7 +89,8 @@ class BsrOperator(LinearOperator):
         blocks, brow, bcol, rowptr, _, _ = _build_bsr(A, br, bc)
         if block_dtype is not None:
             blocks = blocks.astype(block_dtype)
-        return cls(blocks, brow, bcol, rowptr, A.shape, (br, bc), nnz)
+        return cls(blocks, brow, bcol, rowptr, A.shape, (br, bc), nnz,
+                   prefer_pallas=prefer_pallas)
 
     @property
     def stored_density(self):
@@ -182,5 +185,5 @@ class BsrOperator(LinearOperator):
 register_op(
     BsrOperator,
     ["blocks", "brow", "bcol", "rowptr"],
-    ["shape", "block_shape", "nnz"],
+    ["shape", "block_shape", "nnz", "prefer_pallas"],
 )
