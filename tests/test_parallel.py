@@ -107,3 +107,21 @@ def test_gks_with_sharded_operator(rng, mesh8):
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1), np.asarray(x0).reshape(-1), atol=1e-6
     )
+
+
+def test_batched_frame_solve(rng):
+    from trips_tpu.operators import FirstDerivative2D
+    from trips_tpu.parallel.batched import batched_frame_solve
+    from trips_tpu.problems import generate_synthetic_dynamic
+
+    A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
+        nx=16, nt=4, views=10, noise_level=0.01
+    )
+    L = FirstDerivative2D(nx, ny)
+    X = batched_frame_solve(AA, B, L, solver="mmgks", projection_dim=3,
+                            n_iter=6, use_gcv=True)
+    X = np.asarray(X)
+    assert X.shape == (nt, nx * ny)
+    xt = np.asarray(x_true).reshape(nt, -1)
+    errs = [np.linalg.norm(X[t] - xt[t]) / np.linalg.norm(xt[t]) for t in range(nt)]
+    assert max(errs) < 0.8
