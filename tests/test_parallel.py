@@ -125,3 +125,10 @@ def test_batched_frame_solve(rng):
     xt = np.asarray(x_true).reshape(nt, -1)
     errs = [np.linalg.norm(X[t] - xt[t]) / np.linalg.norm(xt[t]) for t in range(nt)]
     assert max(errs) < 0.8
+
+
+def test_pod_mesh_single_process():
+    from trips_tpu.parallel import pod_mesh
+
+    mesh = pod_mesh(time_shards=2)
+    assert mesh.shape == {"time": 2, "rows": 4}

@@ -1,7 +1,17 @@
+from .batched import batched_frame_solve, stack_ell_tables
+from .multihost import init_multihost, pod_mesh
 from .sharding import (
     ShardedDynamicOperator,
     ShardedEllOperator,
     make_mesh,
 )
 
-__all__ = ["ShardedDynamicOperator", "ShardedEllOperator", "make_mesh"]
+__all__ = [
+    "ShardedDynamicOperator",
+    "ShardedEllOperator",
+    "batched_frame_solve",
+    "init_multihost",
+    "make_mesh",
+    "pod_mesh",
+    "stack_ell_tables",
+]
