@@ -19,15 +19,37 @@ contention (see CLAUDE.md).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 """
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+PATH_TIMEOUT_S = 360  # per device path; remote-TPU RPCs occasionally hang
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class PathTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def time_limit(seconds):
+    def handler(signum, frame):
+        raise PathTimeout(f"path exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def scipy_cgls_rate(A, b, iters=30):
@@ -95,17 +117,19 @@ def main():
 
     # path 1: on-the-fly fan projector (no stored matrix)
     try:
-        from trips_tpu.operators import OnTheFlyFanProjector
+        with time_limit(PATH_TIMEOUT_S):
+            from trips_tpu.operators import OnTheFlyFanProjector
 
-        otf = OnTheFlyFanProjector(nx, views=views, dtype=jnp.float32)
-        candidates["onthefly_fan"] = device_cgls_rate(
-            otf, b, A.nnz, iters, jax, jnp, "onthefly_fan"
-        )
+            otf = OnTheFlyFanProjector(nx, views=views, dtype=jnp.float32)
+            candidates["onthefly_fan"] = device_cgls_rate(
+                otf, b, A.nnz, iters, jax, jnp, "onthefly_fan"
+            )
     except Exception as e:
         log(f"on-the-fly path failed: {type(e).__name__}: {e}")
 
     # path 2: stored block-sparse stream
     try:
+      with time_limit(PATH_TIMEOUT_S):
         from trips_tpu.sparse import BsrOperator, EllOperator
 
         if platform == "tpu":
@@ -121,6 +145,7 @@ def main():
             candidates["ell"] = device_cgls_rate(
                 op, b, A.nnz, iters, jax, jnp, "ell"
             )
+
     except Exception as e:
         log(f"stored-matrix path failed: {type(e).__name__}: {e}")
 
