@@ -217,85 +217,127 @@ class OnTheFlyFanProjector(LinearOperator):
         self.Sy = jnp.asarray(Sy, dtype)
         self.Dx = jnp.asarray(Dx, dtype)
         self.Dy = jnp.asarray(Dy, dtype)
+        # static angle groups: angles whose whole fan shares one driving
+        # axis skip the other branch's weight generation (~2x less work)
+        yd = np.abs(Dy - Sy[:, None]) >= np.abs(Dx - Sx[:, None])
+        g_y = [a for a in range(self.n_angles) if yd[a].all()]
+        g_x = [a for a in range(self.n_angles) if (~yd[a]).all()]
+        g_m = [a for a in range(self.n_angles) if a not in g_y and a not in g_x]
+        self._groups = (tuple(g_y), tuple(g_x), tuple(g_m))
+        order = list(g_y) + list(g_x) + list(g_m)
+        # static row permutation: group-ordered rows -> angle-major rows
+        perm = np.empty(self.n_angles, dtype=np.int64)
+        perm[order] = np.arange(self.n_angles)
+        self._row_perm = tuple(perm.tolist())
 
     def _weights(self, a):
         """(Wy (i, d, c), Wx (j, d, r)) chord tensors for angle a."""
-        nx, p = self.nx, self.det_count
+        return self._weights_y(a), self._weights_x(a)
+
+    def _band_weights(self, par_c, perp_c, S_par, S_perp, d_par, d_perp, mask):
+        """Crossings of bands along the 'par' axis; interp over 'perp'.
+
+        par_c: band-center coordinates (n,), perp_c: pixel-center
+        coordinates along the other axis (n,).
+        Returns W (band, det, perp_pixel).
+        """
         dt = self.Dx.dtype
         eps = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-6, dt)
-        dx = self.Dx[a] - self.Sx[a]  # (p,)
+        slope = d_perp / jnp.where(jnp.abs(d_par) < eps, eps, d_par)
+        t1 = (par_c[:, None] - 0.5 - S_par) * slope[None, :] + S_perp
+        t2 = (par_c[:, None] + 0.5 - S_par) * slope[None, :] + S_perp
+        lo = jnp.minimum(t1, t2)  # (band, det)
+        hi = jnp.maximum(t1, t2)
+        span = hi - lo
+        seglen = jnp.sqrt(span * span + 1.0)
+        # overlap with pixel intervals [perp_c - .5, perp_c + .5]
+        ov = jnp.clip(
+            jnp.minimum(hi[:, :, None], perp_c[None, None, :] + 0.5)
+            - jnp.maximum(lo[:, :, None], perp_c[None, None, :] - 0.5),
+            0.0,
+        )
+        frac = ov / jnp.maximum(span, eps)[:, :, None]
+        inside = (jnp.abs(lo[:, :, None] - perp_c[None, None, :]) <= 0.5)
+        w = jnp.where(span[:, :, None] < eps,
+                      jnp.where(inside, seglen[:, :, None], 0.0),
+                      frac * seglen[:, :, None])
+        return w * mask[None, :, None]
+
+    def _grid_centers(self):
+        dt = self.Dx.dtype
+        yc = (self.ny / 2.0 - 0.5) - jnp.arange(self.nx, dtype=dt)
+        xc = (-self.nx / 2.0 + 0.5) + jnp.arange(self.nx, dtype=dt)
+        return yc, xc
+
+    def _weights_y(self, a, masked=True):
+        dx = self.Dx[a] - self.Sx[a]
         dy = self.Dy[a] - self.Sy[a]
-        y_driven = jnp.abs(dy) >= jnp.abs(dx)
+        yc, xc = self._grid_centers()
+        mask = (jnp.abs(dy) >= jnp.abs(dx)) if masked else jnp.ones_like(dx, bool)
+        return self._band_weights(yc, xc, self.Sy[a], self.Sx[a], dy, dx, mask)
 
-        centers = (nx - 1) / 2.0  # pixel-center index offset
-        yc = (self.ny / 2.0 - 0.5) - jnp.arange(nx, dtype=dt)  # row centers
-        xc = (-self.nx / 2.0 + 0.5) + jnp.arange(nx, dtype=dt)  # col centers
+    def _weights_x(self, a, masked=True):
+        dx = self.Dx[a] - self.Sx[a]
+        dy = self.Dy[a] - self.Sy[a]
+        yc, xc = self._grid_centers()
+        mask = (jnp.abs(dy) < jnp.abs(dx)) if masked else jnp.ones_like(dx, bool)
+        return self._band_weights(xc, yc, self.Sx[a], self.Sy[a], dx, dy, mask)
 
-        def band_weights(par_c, perp_c, S_par, S_perp, d_par, d_perp, mask):
-            """Crossings of bands along the 'par' axis; interp over 'perp'.
+    def _branch_fns(self, branch):
+        if branch == "y":
+            fwd = lambda a, X: jnp.einsum(
+                "idc,ic->d", self._weights_y(a), X, precision=_PREC)
+            adj = lambda a, yd: jnp.einsum(
+                "idc,d->ic", self._weights_y(a), yd, precision=_PREC)
+        elif branch == "x":
+            fwd = lambda a, X: jnp.einsum(
+                "jdr,rj->d", self._weights_x(a), X, precision=_PREC)
+            adj = lambda a, yd: jnp.einsum(
+                "jdr,d->rj", self._weights_x(a), yd, precision=_PREC)
+        else:
+            def fwd(a, X):
+                return (jnp.einsum("idc,ic->d", self._weights_y(a), X,
+                                   precision=_PREC)
+                        + jnp.einsum("jdr,rj->d", self._weights_x(a), X,
+                                     precision=_PREC))
 
-            par_c: band-center coordinates (n,), perp_c: pixel-center
-            coordinates along the other axis (n,).
-            Returns W (band, det, perp_pixel).
-            """
-            slope = d_perp / jnp.where(jnp.abs(d_par) < eps, eps, d_par)
-            t1 = (par_c[:, None] - 0.5 - S_par) * slope[None, :] + S_perp
-            t2 = (par_c[:, None] + 0.5 - S_par) * slope[None, :] + S_perp
-            lo = jnp.minimum(t1, t2)  # (band, det)
-            hi = jnp.maximum(t1, t2)
-            span = hi - lo
-            seglen = jnp.sqrt(span * span + 1.0)
-            # overlap with pixel intervals [perp_c - .5, perp_c + .5]
-            ov = jnp.clip(
-                jnp.minimum(hi[:, :, None], perp_c[None, None, :] + 0.5)
-                - jnp.maximum(lo[:, :, None], perp_c[None, None, :] - 0.5),
-                0.0,
-            )
-            frac = ov / jnp.maximum(span, eps)[:, :, None]
-            inside = (jnp.abs(lo[:, :, None] - perp_c[None, None, :]) <= 0.5)
-            w = jnp.where(span[:, :, None] < eps,
-                          jnp.where(inside, seglen[:, :, None], 0.0),
-                          frac * seglen[:, :, None])
-            return w * mask[None, :, None]
-
-        Wy = band_weights(yc, xc, self.Sy[a], self.Sx[a], dy, dx, y_driven)
-        Wx = band_weights(xc, yc, self.Sx[a], self.Sy[a], dx, dy,
-                          jnp.logical_not(y_driven))
-        return Wy, Wx
+            def adj(a, yd):
+                return (jnp.einsum("idc,d->ic", self._weights_y(a), yd,
+                                   precision=_PREC)
+                        + jnp.einsum("jdr,d->rj", self._weights_x(a), yd,
+                                     precision=_PREC))
+        return fwd, adj
 
     def matvec(self, x):
         X = x.reshape(self.ny, self.nx)
-
-        def one_angle(a):
-            Wy, Wx = self._weights(a)
-            ya = jnp.einsum("idc,ic->d", Wy, X,
-                            precision=_PREC)
-            ya += jnp.einsum("jdr,rj->d", Wx, X,
-                             precision=_PREC)
-            return ya
-
-        y = jax.lax.map(one_angle, jnp.arange(self.n_angles))
+        parts = []
+        for branch, group in zip(("y", "x", "m"), self._groups):
+            if not group:
+                continue
+            fwd, _ = self._branch_fns(branch)
+            ys = jax.lax.map(lambda a: fwd(a, X), jnp.asarray(group))
+            parts.append(ys)
+        y = jnp.concatenate(parts, axis=0)
+        y = y[jnp.asarray(self._row_perm)]  # static permutation
         return y.reshape(-1)
 
     def rmatvec(self, y):
         Y = y.reshape(self.n_angles, self.det_count)
-
-        def one_angle(a):
-            Wy, Wx = self._weights(a)
-            Xi = jnp.einsum("idc,d->ic", Wy, Y[a],
-                            precision=_PREC)
-            Xj = jnp.einsum("jdr,d->rj", Wx, Y[a],
-                            precision=_PREC)
-            return Xi + Xj
-
-        Xs = jax.lax.map(one_angle, jnp.arange(self.n_angles))
-        return jnp.sum(Xs, axis=0).reshape(-1)
+        total = jnp.zeros((self.ny, self.nx), Y.dtype)
+        for branch, group in zip(("y", "x", "m"), self._groups):
+            if not group:
+                continue
+            _, adj = self._branch_fns(branch)
+            g = jnp.asarray(group)
+            Xs = jax.lax.map(lambda a: adj(a, Y[a]), g)
+            total = total + jnp.sum(Xs, axis=0)
+        return total.reshape(-1)
 
 
 register_op(
     OnTheFlyFanProjector,
     ["Sx", "Sy", "Dx", "Dy"],
-    ["nx", "ny", "det_count", "shape", "n_angles"],
+    ["nx", "ny", "det_count", "shape", "n_angles", "_groups", "_row_perm"],
 )
 
 
