@@ -70,3 +70,28 @@ def test_fused_gks_reconstruction_quality():
                                n_iter=10, use_gcv=True)
     err = np.linalg.norm(np.asarray(x_dev) - x_true) / np.linalg.norm(x_true)
     assert err < 0.1
+
+
+def test_fused_hybrid_lsqr_matches_host():
+    from trips_tpu.solvers import Hybrid_LSQR
+    from trips_tpu.solvers.fused import fused_hybrid_lsqr
+
+    op, A, x_true, b = problem()
+    x_host, info = Hybrid_LSQR(op, b, n_iter=10, regparam="gcv")
+    x_dev, lams = fused_hybrid_lsqr(op, jnp.asarray(b), n_iter=10, use_gcv=True)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-5
+    )
+
+
+def test_fused_hybrid_lsqr_scalar():
+    from trips_tpu.solvers import Hybrid_LSQR
+    from trips_tpu.solvers.fused import fused_hybrid_lsqr
+
+    op, A, x_true, b = problem()
+    x_host, info = Hybrid_LSQR(op, b, n_iter=10, regparam=0.01)
+    x_dev, lams = fused_hybrid_lsqr(op, jnp.asarray(b), n_iter=10,
+                                    regparam=0.01, use_gcv=False)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-6
+    )

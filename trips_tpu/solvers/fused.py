@@ -54,15 +54,17 @@ def _masked_tikhonov_solve(R_A, R_L, bproj, lam, active_mask):
     return y * active_mask
 
 
-def _gcv_lambda_masked(R_A, R_L, bproj, k_active, active_mask):
+def _gcv_lambda_masked(R_A, R_L, bproj, t_term, active_mask, out_norm2=0.0):
+    """Masked GCV; t_term = active count (standard) or full row count
+    (modified hybrid variant, reference gcv.py:69-72)."""
     pin = _pin(active_mask)
 
     def gcv(lam):
         G = R_A.T @ R_A + lam * (R_L.T @ R_L) + pin
         z = jnp.linalg.solve(G, R_A.T @ bproj)
-        num = jnp.sum((R_A @ z - bproj) ** 2)
+        num = jnp.sum((R_A @ z - bproj) ** 2) + out_norm2
         trace = jnp.trace(R_A @ jnp.linalg.solve(G, R_A.T))
-        return num / (k_active - trace) ** 2
+        return num / (t_term - trace) ** 2
 
     return fminbound(gcv, 1e-9, 1e2, xtol=1e-12, maxfun=1000)
 
@@ -183,3 +185,46 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
         0, n_iter, body, (V, AV, LV, x0, lams0, resids0)
     )
     return x, lams, resids
+
+
+@partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth"))
+def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=True,
+                      reorth=False):
+    """All-on-device Hybrid LSQR: fused Golub-Kahan factorization, then a
+    fori_loop sweep over k with masked projected systems and on-device
+    modified-GCV (fullsize = m, reference Hybrid_LSQR.py:80-84) or a fixed
+    scalar lam. Returns (x, lambda_history).
+    """
+    b = jnp.reshape(b, (-1,))
+    m, n = A.shape
+    K = n_iter
+    dtype = b.dtype
+
+    U, B, V = golub_kahan(A, b, n_iter, reorth=reorth)
+    beta = jnp.linalg.norm(b)
+    bhat = jnp.zeros((K + 1,), dtype).at[0].set(beta)
+    row_idx = jnp.arange(K + 1)
+    col_idx = jnp.arange(K)
+
+    def body(ii, carry):
+        x, lams = carry
+        k = ii + 1  # active columns (first solve at ii=1, as the reference)
+        col_active = col_idx < k
+        row_active = row_idx < k + 1
+        Bm = B * col_active[None, :] * row_active[:, None]
+        bh = bhat * row_active
+        R_L = jnp.eye(K, dtype=dtype)
+        lam = _gcv_lambda_masked(
+            Bm, R_L * col_active[None, :], bh, jnp.asarray(float(m), dtype),
+            col_active,
+        ) if use_gcv else jnp.asarray(regparam, dtype)
+        y = _masked_tikhonov_solve(Bm, R_L * col_active[None, :], bh, lam,
+                                   col_active)
+        x = V @ y
+        lams = lams.at[ii].set(lam)
+        return (x, lams)
+
+    x0 = jnp.zeros((n,), dtype)
+    lams0 = jnp.zeros((n_iter,), dtype)
+    x, lams = jax.lax.fori_loop(1, n_iter, body, (x0, lams0))
+    return x, lams
