@@ -140,6 +140,15 @@ def main():
             candidates["bsr_xla"] = device_cgls_rate(
                 op, b, A.nnz, iters, jax, jnp, "bsr_xla"
             )
+            # mixed precision: bf16 block storage, f32 accumulation — halves
+            # the HBM stream the apply is bound on
+            op16 = BsrOperator(
+                op.blocks.astype(jnp.bfloat16), op.brow, op.bcol, op.rowptr,
+                op.shape, op.block_shape, op.nnz, prefer_pallas=False,
+            )
+            candidates["bsr_bf16"] = device_cgls_rate(
+                op16, b, A.nnz, iters, jax, jnp, "bsr_bf16"
+            )
         else:
             op = EllOperator.from_scipy(A)
             candidates["ell"] = device_cgls_rate(

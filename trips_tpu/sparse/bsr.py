@@ -33,6 +33,14 @@ def _acc_dtype(a, b):
     return jnp.promote_types(d, jnp.float32)
 
 
+def _block_precision(block_dtype):
+    """True-f32 multiplies for f32/f64 blocks; native bf16 passes otherwise
+    (HIGHEST would upcast bf16 and forfeit the bandwidth win)."""
+    if block_dtype in (jnp.bfloat16, jnp.float16):
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 def _build_bsr(A, br, bc=None):
     """scipy sparse -> (blocks, brow, bcol, block_rowptr, mb, nbk) numpy.
 
@@ -114,7 +122,7 @@ class BsrOperator(LinearOperator):
             prod = jnp.einsum(
                 "nij,ni->nj", self.blocks, gathered,
                 preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_block_precision(self.blocks.dtype),
             )
             seg, width = self.bcol, bc
         else:
@@ -124,7 +132,7 @@ class BsrOperator(LinearOperator):
             prod = jnp.einsum(
                 "nij,nj->ni", self.blocks, gathered,
                 preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_block_precision(self.blocks.dtype),
             )
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
@@ -142,7 +150,7 @@ class BsrOperator(LinearOperator):
             prod = jnp.einsum(
                 "nij,nik->njk", self.blocks, Xb[self.brow],
                 preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_block_precision(self.blocks.dtype),
             )
             seg, width = self.bcol, bc
         else:
@@ -151,7 +159,7 @@ class BsrOperator(LinearOperator):
             prod = jnp.einsum(
                 "nij,njk->nik", self.blocks, Xb[self.bcol],
                 preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_block_precision(self.blocks.dtype),
             )
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
