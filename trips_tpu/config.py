@@ -6,7 +6,6 @@ backend with x64 enabled to match the reference oracles tightly.
 """
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp

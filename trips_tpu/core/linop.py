@@ -16,7 +16,6 @@ Conventions
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

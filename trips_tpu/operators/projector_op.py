@@ -16,7 +16,6 @@ the exact transpose by construction (same M, transposed contraction).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

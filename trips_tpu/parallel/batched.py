@@ -9,13 +9,11 @@ axis).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import round_up
 from ..sparse.ell import EllOperator, _csr_to_ell
 from ..solvers.fused import fused_gks, fused_mmgks
 

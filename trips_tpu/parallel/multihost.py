@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from .sharding import make_mesh
 
 
 def init_multihost(coordinator_address=None, num_processes=None,

@@ -16,7 +16,6 @@ import os
 import numpy as np
 import scipy.linalg as sla
 
-from .. import problems
 from ..sparse import BsrOperator, EllOperator
 from ..utils.images import image_to_new_size, load_image_mat
 from . import phantoms as phantom

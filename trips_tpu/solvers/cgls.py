@@ -6,8 +6,6 @@ reference returns.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
 
 from ..krylov import cgls as _cgls_fused
 from ..krylov import cgls_history as _cgls_history

@@ -20,7 +20,7 @@ from ..core.linop import IdentityOperator, LinearOperator
 from ..regparam.dp import discrepancy_principle
 from ..regparam.gcv import generalized_crossvalidation
 from ..utils.gsvd import gsvd
-from ._common import host, vec
+from ._common import host
 
 _GCV_NAMES = ("gcv", "GCV", "Gcv")
 _DP_NAMES = ("DP", "dp", "Dp", "Discrepancy Principle", "Discrepancy principle",

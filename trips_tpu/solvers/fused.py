@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from ..krylov import golub_kahan
 from ..operators.weights import smoothed_holder_weights
 from ..regparam.device import fminbound
-from ._common import as_op
 
 
 def _masked_qr(P, active_mask):

@@ -14,7 +14,6 @@ replaced by kron(I_nt, D_2d) exactly as the reference does (MMGKS.py:44-50).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.linop import BatchedBlockDiagOperator
 from ..operators.derivatives import FirstDerivative2D

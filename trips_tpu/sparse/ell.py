@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SUBLANE, round_up
+from ..config import round_up
 from ..core.linop import LinearOperator, register_op
 
 

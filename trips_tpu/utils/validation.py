@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..regparam.utils import is_identity_matrix as is_identity  # noqa: F401
+from ..regparam.utils import is_identity_matrix as is_identity  # re-exported
 
 
 def soft_thresh(x, mu):
