@@ -133,21 +133,26 @@ def main():
         from trips_tpu.sparse import BsrOperator, EllOperator
 
         if platform == "tpu":
+            # exact f32 matrix path
             t0 = time.perf_counter()
             op = BsrOperator.from_scipy(A, block_shape=(8, 32), prefer_pallas=False)
             log(f"BSR(8,32): {op.blocks.shape[0]} blocks, "
                 f"{op.stored_bytes/1e9:.2f} GB, build {time.perf_counter()-t0:.0f}s")
-            candidates["bsr_xla"] = device_cgls_rate(
-                op, b, A.nnz, iters, jax, jnp, "bsr_xla"
+            candidates["bsr_xla_f32"] = device_cgls_rate(
+                op, b, A.nnz, iters, jax, jnp, "bsr_xla_f32"
             )
-            # mixed precision: bf16 block storage, f32 accumulation — halves
-            # the HBM stream the apply is bound on
-            op16 = BsrOperator(
-                op.blocks.astype(jnp.bfloat16), op.brow, op.bcol, op.rowptr,
-                op.shape, op.block_shape, op.nnz, prefer_pallas=False,
+            del op
+            # mixed precision: bf16 block storage, f32 accumulation; bigger
+            # blocks amortize the indexed-access floor (empirical optimum)
+            t0 = time.perf_counter()
+            op16 = BsrOperator.from_scipy(
+                A, block_shape=(32, 128), block_dtype=jnp.bfloat16,
+                prefer_pallas=False,
             )
-            candidates["bsr_bf16"] = device_cgls_rate(
-                op16, b, A.nnz, iters, jax, jnp, "bsr_bf16"
+            log(f"BSR(32,128)bf16: {op16.blocks.shape[0]} blocks, "
+                f"{op16.stored_bytes/1e9:.2f} GB, build {time.perf_counter()-t0:.0f}s")
+            candidates["bsr_bf16_32x128"] = device_cgls_rate(
+                op16, b, A.nnz, iters, jax, jnp, "bsr_bf16_32x128"
             )
         else:
             op = EllOperator.from_scipy(A)
