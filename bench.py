@@ -93,7 +93,7 @@ def device_cgls_rate(op, b, nnz, iters, jax, jnp, label):
 
 
 def main():
-    nx, views, iters = 256, 60, 30
+    nx, views, iters = 256, 60, 100  # demo configs run 100 iterations
     t0 = time.perf_counter()
     from trips_tpu.problems.phantoms import grains
     from trips_tpu.problems.projector import fan_beam_matrix
