@@ -67,7 +67,10 @@ class Tomography:
         """Returns (OP, A[, A_mis]): device operator, host CSR, and (when
         CommitCrime is False) the angle-mismatched CSR used for data."""
         self.define_A(nx, ny, views)
-        dtype = dtype or (np.float64)
+        if dtype is None:
+            import jax
+
+            dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
         self.OP = device_sparse_operator(self.A, dtype=dtype)
         if not self.CommitCrime:
             return self.OP, self.A, self.A_mis

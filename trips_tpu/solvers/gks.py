@@ -114,7 +114,10 @@ def GKS(A, b, L, projection_dim=3, n_iter=50, regparam="gcv", x_true=None, **kwa
         else:
             Wrot = None
         if not L_is_identity:
-            if QA is None:
+            # incremental column appends are O(mk); a full Householder
+            # re-factorization every 25 columns arrests the slow loss of
+            # orthogonality MGS appends accumulate on ill-posed panels
+            if QA is None or (ii % 25 == 0 and ii > 0):
                 QA, RAj = _qr_panel(AV)
                 QL, RLj = _qr_panel(LV)
             else:

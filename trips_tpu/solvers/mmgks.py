@@ -34,6 +34,10 @@ def MMGKS(A, b, L, pnorm=2, qnorm=1, projection_dim=3, n_iter=5,
     iso_tv = kwargs.get("isoTV", False)
     gs = kwargs.get("GS", False)
     prob_dims = kwargs.get("prob_dims", False)
+    # parsed-but-unused in the reference too (MMGKS.py:35-36); accepted for
+    # signature parity
+    kwargs.get("non_neg", False)
+    kwargs.get("regparam_sequence", None)
     if (regparam == "dp") and delta is None:
         raise Exception(
             "A value for the noise level delta was not provided and the "
