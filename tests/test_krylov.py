@@ -114,3 +114,12 @@ def test_lsqr_damped(rng):
                 atol=1e-12, btol=1e-12)
     x_direct = sla.solve(A.T @ A + damp**2 * np.eye(30), A.T @ b)
     np.testing.assert_allclose(np.asarray(x), x_direct, atol=1e-6)
+
+
+def test_cgls_iters_to_tolerance_matches_reference():
+    """BASELINE metric component: iterations-to-tolerance within rounding of
+    the reference CGLS on tomography configs."""
+    from trips_tpu.bench.iters_to_tol import compare
+
+    for name, k_ref, k_dev in compare():
+        assert abs(k_dev - k_ref) <= max(2, int(0.05 * k_ref)), (name, k_ref, k_dev)
