@@ -43,6 +43,10 @@ def main():
     b, delta = prob.add_noise(b_true, "Gaussian", 0.02)
     delta = float(delta)
     A_dense = np.asarray(A.mat)
+    # anti-inverse-crime data carries model error beyond the additive noise;
+    # DP needs the total discrepancy or it is unattainable (lam -> 0)
+    delta_total = float(np.linalg.norm(
+        np.asarray(b).reshape(-1) - A_dense @ np.asarray(x_true).reshape(-1)))
 
     results = {}
     x, k = tSVD_sol(A_dense, b, regparam="dp", delta=delta)
@@ -55,11 +59,12 @@ def main():
     x, lam = Tikhonov(A_dense, b, np.eye(n), regparam="dp", delta=delta)
     results[f"Tikhonov (dp, lam={lam:.2e})"] = relerr(x, x_true)
 
-    x, info = Hybrid_GMRES(A, b, n_iter=args.iters, regparam="dp", delta=delta)
+    x, info = Hybrid_GMRES(A, b, n_iter=args.iters, regparam="dp",
+                           delta=delta_total, reorth=True)
     results["Hybrid GMRES (dp)"] = relerr(x, x_true)
 
-    x, info = Hybrid_LSQR(A, b, n_iter=args.iters, regparam="dp", delta=delta,
-                          reorth=True)
+    x, info = Hybrid_LSQR(A, b, n_iter=args.iters, regparam="dp",
+                          delta=delta_total, reorth=True)
     results["Hybrid LSQR (dp)"] = relerr(x, x_true)
 
     L = FirstDerivative1D(n)

@@ -19,9 +19,12 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def arnoldi(A, b, n_iter: int):
-    """Returns Q (n, k+1), H (k+1, k) upper-Hessenberg, with Q[:,0] = b/||b||."""
+@partial(jax.jit, static_argnames=("n_iter", "reorth"))
+def arnoldi(A, b, n_iter: int, reorth: bool = False):
+    """Returns Q (n, k+1), H (k+1, k) upper-Hessenberg, with Q[:,0] = b/||b||.
+
+    reorth=True adds a second full Gram-Schmidt pass per step (CGS2-quality
+    orthogonality; not in the reference)."""
     if A.shape[0] != A.shape[1]:
         raise ValueError("Arnoldi can not be used. The operator is not square")
     n = A.shape[0]
@@ -49,6 +52,11 @@ def arnoldi(A, b, n_iter: int):
 
         h = jnp.zeros((n_iter + 1,), dtype)
         w, h = jax.lax.fori_loop(0, n_iter, inner, (w, h))
+        if reorth:
+            # unused columns of Q are zero, so the full product is safe
+            corr = Q.T @ w
+            w = w - Q @ corr
+            h = h + corr
         nrm = jnp.linalg.norm(w)
         h = h.at[k + 1].set(nrm)
         Q = jax.lax.dynamic_update_slice_in_dim(

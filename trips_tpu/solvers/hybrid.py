@@ -134,7 +134,7 @@ def Hybrid_GMRES(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     _require_delta(regparam, dp_stop, delta)
 
     m = A.shape[0]
-    Q, H = arnoldi(A, b, n_iter)
+    Q, H = arnoldi(A, b, n_iter, reorth=kwargs.get("reorth", False))
     Hh = host(H)
     beta = float(jnp.linalg.norm(b))
     x = None
