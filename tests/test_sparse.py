@@ -91,3 +91,28 @@ def test_combinators(rng):
     np.testing.assert_allclose(np.asarray(comp @ x), A @ x, atol=1e-12)
     scaled = 2.5 * opA
     np.testing.assert_allclose(np.asarray(scaled @ x), 2.5 * (A @ x), atol=1e-12)
+
+
+def test_bf16_blocks_reconstruction_parity(rng):
+    """bf16 block storage (the bench fast path) must not change noisy-data
+    reconstructions materially (noise floor >> bf16 operator error)."""
+    import jax.numpy as jnp
+
+    from trips_tpu.krylov import cgls
+    from trips_tpu.problems.phantoms import tectonic
+    from trips_tpu.problems.projector import fan_beam_matrix
+
+    nx, views = 32, 20
+    A = random_sparse(rng, 1, 1)  # noqa: F841 (keep fixture signature)
+    Af = fan_beam_matrix(nx, views=views).astype(np.float32)
+    xt = tectonic(nx).reshape(-1).astype(np.float32)
+    b_true = Af @ xt
+    e = rng.standard_normal(len(b_true)).astype(np.float32)
+    b = b_true + 0.01 * np.linalg.norm(b_true) / np.linalg.norm(e) * e
+    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32), prefer_pallas=False)
+    op16 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
+                                  block_dtype=jnp.bfloat16, prefer_pallas=False)
+    x32, _ = cgls(op32, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
+    x16, _ = cgls(op16, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
+    rel = np.linalg.norm(np.asarray(x16) - np.asarray(x32)) / np.linalg.norm(np.asarray(x32))
+    assert rel < 0.03
