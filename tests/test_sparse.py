@@ -103,7 +103,6 @@ def test_bf16_blocks_reconstruction_parity(rng):
     from trips_tpu.problems.projector import fan_beam_matrix
 
     nx, views = 32, 20
-    A = random_sparse(rng, 1, 1)  # noqa: F841 (keep fixture signature)
     Af = fan_beam_matrix(nx, views=views).astype(np.float32)
     xt = tectonic(nx).reshape(-1).astype(np.float32)
     b_true = Af @ xt
