@@ -74,21 +74,21 @@ def scipy_cgls_rate(A, b, iters=30):
 
 
 def device_cgls_rate(op, b, nnz, iters, jax, jnp, label):
-    from trips_tpu.krylov import cgls
+    from trips_tpu.krylov import cgls_fixed
 
     x0 = jnp.zeros(op.shape[1], b.dtype)
     t0 = time.perf_counter()
-    x, k = cgls(op, b, x0, 2, 0.0)
-    jax.block_until_ready(x)
+    x, k = cgls_fixed(op, b, x0, iters)
+    _ = np.asarray(x)  # force full materialization through the runtime
     log(f"  [{label}] compile+warmup {time.perf_counter() - t0:.1f}s")
     best = 0.0
     for _ in range(2):  # best of 2 (chip contention noise)
         t0 = time.perf_counter()
-        x, k = cgls(op, b, x0, iters, 0.0)
-        jax.block_until_ready(x)
+        x, k = cgls_fixed(op, b, x0, iters)
+        _ = np.asarray(x)
         dt = time.perf_counter() - t0
-        best = max(best, int(k) * 2 * nnz / dt)
-    log(f"  [{label}] CGLS {int(k)} iters -> {best/1e9:.3f} Gnnz/s (best of 2)")
+        best = max(best, iters * 2 * nnz / dt)
+    log(f"  [{label}] CGLS {iters} iters -> {best/1e9:.3f} Gnnz/s (best of 2)")
     return best
 
 
