@@ -65,5 +65,5 @@ def arnoldi(A, b, n_iter: int, reorth: bool = False):
         H = jax.lax.dynamic_update_slice_in_dim(H, h[:, None], k, axis=1)
         return (Q, H)
 
-    Q, H = jax.lax.fori_loop(0, n_iter, outer, (Q, H))
+    Q, H = jax.lax.fori_loop(0, n_iter, outer, (Q, H), unroll=2)
     return Q, H

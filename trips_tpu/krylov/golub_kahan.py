@@ -64,7 +64,7 @@ def golub_kahan(A, b, n_iter: int, reorth: bool = False):
         betas = betas.at[k].set(beta)
         return (U, V, alphas, betas)
 
-    U, V, alphas, betas = jax.lax.fori_loop(0, n_iter, body, (U, V, alphas, betas))
+    U, V, alphas, betas = jax.lax.fori_loop(0, n_iter, body, (U, V, alphas, betas), unroll=4)
 
     S = jnp.zeros((n_iter + 1, n_iter), dtype)
     ar = jnp.arange(n_iter)
