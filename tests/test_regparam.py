@@ -122,6 +122,64 @@ def test_dp_general_L(rng):
     assert resid == pytest.approx(1.01 * delta, rel=1e-4)
 
 
+def test_dp_explicit_proj(rng):
+    """explicitProj adds the out-of-subspace residual ||b - Q Q^T b||^2 to
+    the DP function (reference discrepancy_principle.py:68-84): the returned
+    lam satisfies ||filtered residual||^2 + outnorm^2 = (eta*delta)^2, so it
+    is strictly larger than the subspace-only root."""
+    m, k = 40, 20
+    A_full = rng.standard_normal((m, m)) @ np.diag(np.logspace(0, -4, m))
+    x = np.linspace(0, 1, m)
+    b_true = A_full @ x
+    e = rng.standard_normal(m)
+    e = 0.05 * np.linalg.norm(b_true) / np.linalg.norm(e) * e
+    b = (b_true + e).reshape(-1, 1)
+    delta = np.linalg.norm(e)
+    # Golub-Kahan subspace so Q captures b to within (but not below) the
+    # noise: the out-of-subspace residual keeps the explicitProj DP
+    # attainable while still shifting the root
+    from oracles import golub_kahan_np
+
+    _, _, V = golub_kahan_np(A_full, b.reshape(-1), k)
+    Q, R_A = np.linalg.qr(A_full @ V)
+
+    lam_std = discrepancy_principle(Q, R_A, np.eye(k), b, delta=delta,
+                                    eta=1.01)
+    lam_exp = discrepancy_principle(Q, R_A, np.eye(k), b, delta=delta,
+                                    eta=1.01, explicitProj=True)
+    assert 0 < lam_exp < lam_std  # extra residual term -> smaller target
+    # root property of the explicitProj variant
+    bproj = Q.T @ b
+    out2 = np.linalg.norm(b - Q @ bproj) ** 2
+    y = sla.solve(R_A.T @ R_A + lam_exp * np.eye(k), R_A.T @ bproj)
+    resid2 = np.linalg.norm(R_A @ y - bproj) ** 2 + out2
+    assert resid2 == pytest.approx((1.01 * delta) ** 2, rel=1e-4)
+
+
+def test_poisson_delta_dp(rng):
+    """Poisson-noise DP (beyond reference: the reference's Poisson add_noise
+    returns delta=0, Tomography.py:214-217). poisson_delta estimates ||e||
+    from counts; DP with it lands within a factor ~2 of the ideal-delta lam
+    and yields a comparable reconstruction."""
+    from trips_tpu.regparam import poisson_delta
+
+    m = 40
+    A = rng.standard_normal((m, m)) @ np.diag(np.logspace(0, -3, m))
+    x = np.abs(np.sin(np.linspace(0, 3, m))) + 0.5
+    b_true = 2000.0 * np.abs(A @ x)  # counting regime
+    b = rng.poisson(lam=b_true + 1).astype(float).reshape(-1, 1)
+    e = b.reshape(-1) - (b_true + 1)
+    delta_true = np.linalg.norm(e)
+    delta_est = poisson_delta(b)
+    assert delta_est == pytest.approx(delta_true, rel=0.3)
+    lam_est = discrepancy_principle(np.eye(m), A, np.eye(m), b,
+                                    delta=delta_est, eta=1.01)
+    lam_true = discrepancy_principle(np.eye(m), A, np.eye(m), b,
+                                     delta=delta_true, eta=1.01)
+    assert lam_est > 0 and lam_true > 0
+    assert 0.3 < lam_est / lam_true < 3.0
+
+
 def test_lcurve_returns_reasonable_lambda(rng):
     _, b, Q_A, R_A, R_L = projected_system(rng)
     lam = l_curve(R_A, R_L, Q_A.T @ b)

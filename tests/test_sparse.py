@@ -115,3 +115,43 @@ def test_bf16_blocks_reconstruction_parity(rng):
     x16, _ = cgls(op16, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
     rel = np.linalg.norm(np.asarray(x16) - np.asarray(x32)) / np.linalg.norm(np.asarray(x32))
     assert rel < 0.03
+
+
+def test_int8_blocks_quantized_apply(rng):
+    """int8 per-block quantization: applies match scipy within the
+    blockmax/254 quantization budget, and noisy reconstructions track the
+    f32 path (same regime as the bf16 test; int8 halves the stream again)."""
+    import jax.numpy as jnp
+
+    from trips_tpu.krylov import cgls
+    from trips_tpu.problems.phantoms import tectonic
+    from trips_tpu.problems.projector import fan_beam_matrix
+
+    A = random_sparse(rng, 123, 87).astype(np.float32)
+    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8,
+                                prefer_pallas=False)
+    assert op.blocks.dtype == jnp.int8 and op.quant_scale is not None
+    x = rng.standard_normal(87).astype(np.float32)
+    y = rng.standard_normal(123).astype(np.float32)
+    ref = A @ x
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 0.02
+    refT = A.T @ y
+    gotT = np.asarray(op.rmatvec(jnp.asarray(y)))
+    assert np.linalg.norm(gotT - refT) / np.linalg.norm(refT) < 0.02
+
+    nx, views = 32, 20
+    Af = fan_beam_matrix(nx, views=views).astype(np.float32)
+    xt = tectonic(nx).reshape(-1).astype(np.float32)
+    b_true = Af @ xt
+    e = rng.standard_normal(len(b_true)).astype(np.float32)
+    b = b_true + 0.01 * np.linalg.norm(b_true) / np.linalg.norm(e) * e
+    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
+                                  prefer_pallas=False)
+    op8 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
+                                 block_dtype=jnp.int8, prefer_pallas=False)
+    x32, _ = cgls(op32, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
+    x8, _ = cgls(op8, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
+    rel = (np.linalg.norm(np.asarray(x8) - np.asarray(x32))
+           / np.linalg.norm(np.asarray(x32)))
+    assert rel < 0.05

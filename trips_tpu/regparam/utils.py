@@ -34,3 +34,19 @@ def is_identity_matrix(M, n=None):
     if M.ndim != 2 or M.shape[0] != M.shape[1]:
         return False
     return bool(np.allclose(M, np.eye(M.shape[0])))
+
+
+def poisson_delta(b_meas):
+    """Estimated noise norm for Poisson-distributed measurements.
+
+    The reference's Poisson ``add_noise`` returns ``delta=0``
+    (``trips/test_problems/Tomography.py:214-217``), leaving the
+    discrepancy principle unusable for counting noise. This estimator
+    closes that gap (beyond reference): for ``b ~ Poisson(lam = b_true+1)``
+    the noise ``e = b - (b_true+1)`` has ``E||e||^2 = sum(lam)``, and
+    ``E b = lam``, so ``sqrt(sum(b_meas))`` is an unbiased plug-in for
+    ``||e||`` in expectation. Use as the ``delta`` argument of any
+    DP-driven solver on Poisson data.
+    """
+    b = np.asarray(b_meas, dtype=float)
+    return float(np.sqrt(max(b.sum(), 0.0)))

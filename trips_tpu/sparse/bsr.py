@@ -66,10 +66,19 @@ def _build_bsr(A, br, bc=None):
 
 
 class BsrOperator(LinearOperator):
-    """Row-major block-sparse operator (single stored partition)."""
+    """Row-major block-sparse operator (single stored partition).
+
+    ``block_dtype=jnp.int8`` selects per-block absmax int8 quantization:
+    blocks are stored as int8 with one f32 scale per block (HBM stream
+    halves again vs bf16; the stream is the bottleneck on the stored-matrix
+    path). The apply upcasts each block in-register and folds the scale into
+    the per-block result, so accumulation stays f32. Entry-wise error is
+    bounded by blockmax/254 — the same ~8-bit mantissa budget as bf16,
+    absolute rather than relative.
+    """
 
     def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz,
-                 prefer_pallas=True):
+                 prefer_pallas=True, quant_scale=None):
         self.blocks = jnp.asarray(blocks)
         self.brow = jnp.asarray(brow)
         self.bcol = jnp.asarray(bcol)
@@ -78,6 +87,8 @@ class BsrOperator(LinearOperator):
         self.block_shape = tuple(block_shape)
         self.nnz = nnz
         self.prefer_pallas = prefer_pallas
+        self.quant_scale = (None if quant_scale is None
+                            else jnp.asarray(quant_scale))
 
     @classmethod
     def from_scipy(cls, A, bs: int = None, dtype=None, block_dtype=None,
@@ -95,10 +106,16 @@ class BsrOperator(LinearOperator):
             A = A.astype(dtype)
         nnz = A.nnz
         blocks, brow, bcol, rowptr, _, _ = _build_bsr(A, br, bc)
-        if block_dtype is not None:
+        quant_scale = None
+        if block_dtype is not None and jnp.dtype(block_dtype) == jnp.int8:
+            absmax = np.abs(blocks).max(axis=(1, 2))
+            quant_scale = (absmax / 127.0).astype(np.float32)
+            safe = np.where(quant_scale > 0, quant_scale, 1.0)
+            blocks = np.rint(blocks / safe[:, None, None]).astype(np.int8)
+        elif block_dtype is not None:
             blocks = blocks.astype(block_dtype)
         return cls(blocks, brow, bcol, rowptr, A.shape, (br, bc), nnz,
-                   prefer_pallas=prefer_pallas)
+                   prefer_pallas=prefer_pallas, quant_scale=quant_scale)
 
     @property
     def stored_density(self):
@@ -110,30 +127,38 @@ class BsrOperator(LinearOperator):
     def stored_bytes(self):
         return self.blocks.size * self.blocks.dtype.itemsize
 
+    def _einsum_blocks(self, spec, gathered, acc):
+        """Per-block contraction; int8-quantized blocks upcast in-register
+        and fold the per-block scale into the (small) result."""
+        blocks = self.blocks
+        if self.quant_scale is not None:
+            blocks = blocks.astype(jnp.bfloat16)
+            gathered = gathered.astype(jnp.bfloat16)
+            prod = jnp.einsum(spec, blocks, gathered,
+                              preferred_element_type=acc,
+                              precision=jax.lax.Precision.DEFAULT)
+            scale = self.quant_scale.astype(acc)
+            return prod * scale.reshape((-1,) + (1,) * (prod.ndim - 1))
+        return jnp.einsum(spec, blocks, gathered,
+                          preferred_element_type=acc,
+                          precision=_block_precision(blocks.dtype))
+
     # -- XLA applies (CPU backends / fallback) ---------------------------
     def _apply(self, x, transpose):
         br, bc = self.block_shape
         m_out = self.shape[1] if transpose else self.shape[0]
-        acc = _acc_dtype(self.blocks.dtype, x.dtype)
+        acc = _acc_dtype(
+            x.dtype if self.quant_scale is not None else self.blocks.dtype,
+            x.dtype)
         if transpose:
             xp = jnp.pad(x, (0, (-x.shape[0]) % br))
             xb = xp.reshape(-1, br)
-            gathered = xb[self.brow]  # (nb, br)
-            prod = jnp.einsum(
-                "nij,ni->nj", self.blocks, gathered,
-                preferred_element_type=acc,
-                precision=_block_precision(self.blocks.dtype),
-            )
+            prod = self._einsum_blocks("nij,ni->nj", xb[self.brow], acc)
             seg, width = self.bcol, bc
         else:
             xp = jnp.pad(x, (0, (-x.shape[0]) % bc))
             xb = xp.reshape(-1, bc)
-            gathered = xb[self.bcol]  # (nb, bc)
-            prod = jnp.einsum(
-                "nij,nj->ni", self.blocks, gathered,
-                preferred_element_type=acc,
-                precision=_block_precision(self.blocks.dtype),
-            )
+            prod = self._einsum_blocks("nij,nj->ni", xb[self.bcol], acc)
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
         y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
@@ -142,25 +167,19 @@ class BsrOperator(LinearOperator):
     def _apply_mat(self, X, transpose):
         br, bc = self.block_shape
         m_out = self.shape[1] if transpose else self.shape[0]
-        acc = _acc_dtype(self.blocks.dtype, X.dtype)
+        acc = _acc_dtype(
+            X.dtype if self.quant_scale is not None else self.blocks.dtype,
+            X.dtype)
         k = X.shape[1]
         if transpose:
             Xp = jnp.pad(X, ((0, (-X.shape[0]) % br), (0, 0)))
             Xb = Xp.reshape(-1, br, k)
-            prod = jnp.einsum(
-                "nij,nik->njk", self.blocks, Xb[self.brow],
-                preferred_element_type=acc,
-                precision=_block_precision(self.blocks.dtype),
-            )
+            prod = self._einsum_blocks("nij,nik->njk", Xb[self.brow], acc)
             seg, width = self.bcol, bc
         else:
             Xp = jnp.pad(X, ((0, (-X.shape[0]) % bc), (0, 0)))
             Xb = Xp.reshape(-1, bc, k)
-            prod = jnp.einsum(
-                "nij,njk->nik", self.blocks, Xb[self.bcol],
-                preferred_element_type=acc,
-                precision=_block_precision(self.blocks.dtype),
-            )
+            prod = self._einsum_blocks("nij,njk->nik", Xb[self.bcol], acc)
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
         Y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
@@ -192,6 +211,6 @@ class BsrOperator(LinearOperator):
 
 register_op(
     BsrOperator,
-    ["blocks", "brow", "bcol", "rowptr"],
+    ["blocks", "brow", "bcol", "rowptr", "quant_scale"],
     ["shape", "block_shape", "nnz", "prefer_pallas"],
 )

@@ -120,7 +120,8 @@ def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose):
 
 def bsr_matvec(op, x, transpose: bool):
     """Dispatch: Pallas kernel on TPU, XLA segment-sum elsewhere."""
-    if getattr(op, "prefer_pallas", True) and _use_pallas():
+    if (getattr(op, "prefer_pallas", True) and _use_pallas()
+            and getattr(op, "quant_scale", None) is None):
         br, bc = op.block_shape
         m_out = op.shape[1] if transpose else op.shape[0]
         return _pallas_bsr_apply(op.blocks, op.brow, op.bcol, x, br, bc,
