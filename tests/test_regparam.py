@@ -126,7 +126,8 @@ def test_dp_explicit_proj(rng):
     """explicitProj adds the out-of-subspace residual ||b - Q Q^T b||^2 to
     the DP function (reference discrepancy_principle.py:68-84): the returned
     lam satisfies ||filtered residual||^2 + outnorm^2 = (eta*delta)^2, so it
-    is strictly larger than the subspace-only root."""
+    is strictly smaller than the subspace-only root (the out-of-subspace
+    term shrinks the attainable filtered-residual target)."""
     m, k = 40, 20
     A_full = rng.standard_normal((m, m)) @ np.diag(np.logspace(0, -4, m))
     x = np.linspace(0, 1, m)

@@ -155,3 +155,22 @@ def test_int8_blocks_quantized_apply(rng):
     rel = (np.linalg.norm(np.asarray(x8) - np.asarray(x32))
            / np.linalg.norm(np.asarray(x32)))
     assert rel < 0.05
+
+
+def test_int8_todense_not_zero(rng):
+    """Regression (ADVICE r1, medium): todense()/to_scipy() on an
+    int8-quantized BsrOperator must reconstruct the matrix, not an all-zero
+    int8 cast. The computation dtype of a quantized operator is float32."""
+    import jax.numpy as jnp
+
+    A = random_sparse(rng, 64, 48).astype(np.float32)
+    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8,
+                                prefer_pallas=False)
+    assert op.dtype == jnp.float32
+    dense = op.to_scipy()
+    assert dense.dtype == np.float32
+    ref = A.toarray()
+    rel = np.linalg.norm(dense - ref) / np.linalg.norm(ref)
+    assert rel < 0.02
+    # quant scales count toward the streamed bytes
+    assert op.stored_bytes > op.blocks.size

@@ -73,8 +73,13 @@ class BsrOperator(LinearOperator):
     halves again vs bf16; the stream is the bottleneck on the stored-matrix
     path). The apply upcasts each block in-register and folds the scale into
     the per-block result, so accumulation stays f32. Entry-wise error is
-    bounded by blockmax/254 — the same ~8-bit mantissa budget as bf16,
-    absolute rather than relative.
+    bounded by blockmax/254 (plus the bf16 rounding of the gathered x in
+    ``_einsum_blocks``, ~2^-8 relative) — the same ~8-bit mantissa budget as
+    bf16, absolute rather than relative.
+
+    Note: ``prefer_pallas=True`` currently applies only to unquantized
+    blocks; int8-quantized operators always take the XLA segment-sum apply
+    (no quantized Pallas kernel yet — see ``pallas_spmv.bsr_matvec``).
     """
 
     def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz,
@@ -118,6 +123,23 @@ class BsrOperator(LinearOperator):
                    prefer_pallas=prefer_pallas, quant_scale=quant_scale)
 
     @property
+    def dtype(self):
+        """Computation dtype, not storage dtype.
+
+        int8-quantized (and bf16) blocks are storage formats: every apply
+        accumulates in f32 and the operator behaves as an f32 linear map.
+        Without this override the generic pytree-leaf rule would report int8,
+        and ``todense()`` would build an int8 identity / cast the result back
+        to int8 — silently zeroing the matrix (ADVICE r1, medium).
+        """
+        if self.quant_scale is not None:
+            return jnp.dtype(jnp.float32)
+        d = jnp.dtype(self.blocks.dtype)
+        if d == jnp.bfloat16 or d == jnp.float16:
+            return jnp.dtype(jnp.float32)
+        return d
+
+    @property
     def stored_density(self):
         """nnz / stored block capacity — the bandwidth utilization factor."""
         br, bc = self.block_shape
@@ -125,7 +147,11 @@ class BsrOperator(LinearOperator):
 
     @property
     def stored_bytes(self):
-        return self.blocks.size * self.blocks.dtype.itemsize
+        """Bytes streamed from HBM per apply: blocks + per-block quant scales."""
+        nbytes = self.blocks.size * self.blocks.dtype.itemsize
+        if self.quant_scale is not None:
+            nbytes += self.quant_scale.size * self.quant_scale.dtype.itemsize
+        return nbytes
 
     def _einsum_blocks(self, spec, gathered, acc):
         """Per-block contraction; int8-quantized blocks upcast in-register
@@ -162,7 +188,9 @@ class BsrOperator(LinearOperator):
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
         y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
-        return y.reshape(-1)[:m_out].astype(x.dtype)
+        # never downcast the f32 accumulator to an integer input dtype
+        out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else acc
+        return y.reshape(-1)[:m_out].astype(out_dtype)
 
     def _apply_mat(self, X, transpose):
         br, bc = self.block_shape
@@ -183,7 +211,8 @@ class BsrOperator(LinearOperator):
             seg, width = self.brow, br
         nb_out = -(-m_out // width)
         Y = jax.ops.segment_sum(prod, seg, num_segments=nb_out)
-        return Y.reshape(-1, k)[:m_out].astype(X.dtype)
+        out_dtype = X.dtype if jnp.issubdtype(X.dtype, jnp.floating) else acc
+        return Y.reshape(-1, k)[:m_out].astype(out_dtype)
 
     # -- public applies ---------------------------------------------------
     def matvec(self, x):

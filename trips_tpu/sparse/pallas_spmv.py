@@ -119,7 +119,11 @@ def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose):
 
 
 def bsr_matvec(op, x, transpose: bool):
-    """Dispatch: Pallas kernel on TPU, XLA segment-sum elsewhere."""
+    """Dispatch: Pallas kernel on TPU, XLA segment-sum elsewhere.
+
+    int8-quantized operators always take the XLA apply (there is no
+    quantized Pallas kernel yet), even with ``prefer_pallas=True``.
+    """
     if (getattr(op, "prefer_pallas", True) and _use_pallas()
             and getattr(op, "quant_scale", None) is None):
         br, bc = op.block_shape
