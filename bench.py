@@ -230,6 +230,21 @@ def main():
             if rate and rate > best["rate"]:
                 best.update(name=name, rate=float(rate))
 
+        # ---- path 0: shear-rotate fan projector (zero transfer; all dense
+        # VPU/MXU work against a device-built constant) -------------------
+        sf = None
+        with phase("shear_fan_while", 240, report) as ok:
+            if ok:
+                from trips_tpu.operators import ShearFanProjector
+
+                sf = ShearFanProjector(
+                    nx, views=views, dtype=jnp.float32,
+                    g_dtype=jnp.bfloat16 if platform == "tpu"
+                    else jnp.float32)
+                info = report["paths"]["shear_fan_while"]
+                consider("shear_fan_while", measure_device(
+                    cgls_while, sf, b, A.nnz, ITERS, info))
+
         # ---- path 1: banded fan projector, Pallas kernel (zero-transfer
         # weights are tiny; expected champion) --------------------------
         banded = None
@@ -323,13 +338,17 @@ def main():
                     consider("ell_cpu", measure_device(
                         cgls_while, op, b, A.nnz, ITERS, info))
 
-        # ---- scan-unrolled run for the banded champion ------------------
-        if banded is not None and best["name"] == "banded_pallas":
-            info = report["paths"].setdefault("banded_pallas_scan", {})
-            with phase("banded_pallas_scan", 200, report) as ok:
+        # ---- scan-unrolled run for the current champion (the scan program
+        # is faster per-iteration but compiles much larger) ----------------
+        champ_op = {"shear_fan_while": sf, "banded_pallas": banded}.get(
+            best["name"])
+        if champ_op is not None:
+            cname = best["name"].replace("_while", "") + "_scan"
+            info = report["paths"].setdefault(cname, {})
+            with phase(cname, 200, report) as ok:
                 if ok:
-                    consider("banded_pallas_scan", measure_device(
-                        cgls_fixed, banded, b, A.nnz, ITERS, info))
+                    consider(cname, measure_device(
+                        cgls_fixed, champ_op, b, A.nnz, ITERS, info))
 
         # ---- contention sentinel: re-run the host baseline --------------
         with phase("baseline_sentinel", 60, report) as ok:

@@ -8,8 +8,10 @@ from .derivatives import (
     first_derivative_matrix,
     spacetime_derivative_matrix,
 )
+from .fan_shear import ShearFanProjector
 from .framelet import FrameletOperator, analysis_matrix
 from .projector_op import OnTheFlyFanProjector, OnTheFlyParallelProjector
+from .shear_projector import ShearStackParallelProjector
 from .weights import (
     CenteredDerivative2D,
     gs_weights,
@@ -27,6 +29,8 @@ __all__ = [
     "FrameletOperator",
     "OnTheFlyFanProjector",
     "OnTheFlyParallelProjector",
+    "ShearFanProjector",
+    "ShearStackParallelProjector",
     "SpaceTimeDerivative",
     "analysis_matrix",
     "defocus_psf_1d",
