@@ -96,3 +96,36 @@ def test_nondefault_geometry(rng):
     r = A @ sm
     g = np.asarray(op.matvec(jnp.asarray(sm)))
     assert np.linalg.norm(r - g) / np.linalg.norm(r) < 0.08
+
+
+def test_pallas_rotate_matches_xla(rng):
+    """interpret=True Pallas rotate/adjoint kernels vs the XLA stages
+    (VERDICT r1 item 4: Pallas code under test on CPU)."""
+    import jax.numpy as jnp
+
+    from trips_tpu.operators.pallas_shear import (
+        rotate_all_adjoint_pallas,
+        rotate_all_pallas,
+    )
+
+    nx, views = 32, 8
+    op = ShearFanProjector(nx, views=views, dtype=jnp.float64)
+    X = jnp.asarray(rng.standard_normal((nx, nx)))
+    R_xla = np.asarray(op._rotate_all(X))
+    Rp = np.asarray(rotate_all_pallas(
+        op._quarters(X).astype(jnp.float32), op._kx, op._fx, op._ky,
+        op._fy, op._kq, out_dtype=jnp.float32, interpret=True))
+    assert np.linalg.norm(Rp - R_xla) / np.linalg.norm(R_xla) < 1e-6
+
+    # adjoint: <rot(X), Gc> == <X, rot_T(Gc)> through the full
+    # quarter-turn + crop chain
+    Gc = rng.standard_normal(R_xla.shape).astype(np.float32)
+    Q = np.asarray(rotate_all_adjoint_pallas(
+        jnp.asarray(Gc), op._kx, op._fx, op._ky, op._fy, op._kq,
+        out_dtype=jnp.float32, interpret=True))
+    canvas = Q[0] + np.rot90(Q[1], k=1) + np.rot90(Q[2], k=2)
+    off = (op._C - nx) // 2
+    xt = canvas[off:off + nx, off:off + nx]
+    lhs = float(np.sum(R_xla * Gc))
+    rhs = float(np.sum(np.asarray(X) * xt))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)

@@ -107,6 +107,7 @@ class ShearFanProjector(LinearOperator):
         phi = angles - k * (np.pi / 2)  # residual in [-45, 45)
         self._kgroups = tuple(
             tuple(int(a) for a in np.nonzero(k == kk)[0]) for kk in (0, 1, 2))
+        self._kq = tuple(int(v) for v in k)
         # rotate-by-(-phi) in pull-back form (out(c) = in(c + shift)):
         # shifts sx = -tan(phi/2)*y per row, sy = -sin(phi)*x per column,
         # applied as ShX, ShY, ShX (sign conventions pinned numerically
@@ -203,9 +204,45 @@ class ShearFanProjector(LinearOperator):
         perm[np.asarray(order)] = np.arange(self.n_angles)
         return R[jnp.asarray(perm)] if list(order) != sorted(order) else R
 
-    def _forward(self, x):
+    # -- Pallas fast path (TPU): rotate stage in VMEM ----------------------
+    @staticmethod
+    def _use_pallas():
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _quarters(self, X):
+        C, nx = self._C, self.nx
+        off = (C - nx) // 2
+        canvas = jnp.zeros((C, C), X.dtype)
+        canvas = jax.lax.dynamic_update_slice(canvas, X, (off, off))
+        return jnp.stack([canvas, jnp.rot90(canvas, k=-1),
+                          jnp.rot90(canvas, k=-2)])
+
+    def _rotate_pallas(self, X):
+        from .pallas_shear import rotate_all_pallas
+
+        return rotate_all_pallas(
+            self._quarters(X).astype(jnp.float32), self._kx, self._fx,
+            self._ky, self._fy, self._kq, out_dtype=self.G.dtype)
+
+    def _rotate_adjoint_pallas(self, Radj):
+        from .pallas_shear import rotate_all_adjoint_pallas
+
+        acc = jnp.promote_types(self.dtype_, jnp.float32)
+        Q = rotate_all_adjoint_pallas(
+            Radj, self._kx, self._fx, self._ky, self._fy, self._kq,
+            out_dtype=acc)
+        canvas = Q[0] + jnp.rot90(Q[1], k=1) + jnp.rot90(Q[2], k=2)
+        off = (self._C - self.nx) // 2
+        return jax.lax.dynamic_slice(canvas, (off, off),
+                                     (self.ny, self.nx))
+
+    def _forward(self, x, force_xla=False):
         X = x.reshape(self.ny, self.nx)
-        R = self._rotate_all(X)
+        R = (self._rotate_all(X) if force_xla or not self._use_pallas()
+             else self._rotate_pallas(X))
         acc = jnp.promote_types(self.dtype_, jnp.float32)
         y = jnp.einsum("aic,icd->ad", R.astype(self.G.dtype), self.G,
                        preferred_element_type=acc)
@@ -215,9 +252,18 @@ class ShearFanProjector(LinearOperator):
         return self._forward(x.astype(self.dtype_)).astype(x.dtype)
 
     def rmatvec(self, y):
-        x0 = jax.ShapeDtypeStruct((self.shape[1],), self.dtype_)
-        (xt,) = jax.linear_transpose(self._forward, x0)(
-            y.astype(self.dtype_))
+        if not self._use_pallas():
+            def fwd(x):
+                return self._forward(x, force_xla=True)
+
+            x0 = jax.ShapeDtypeStruct((self.shape[1],), self.dtype_)
+            (xt,) = jax.linear_transpose(fwd, x0)(y.astype(self.dtype_))
+            return xt.astype(y.dtype)
+        acc = jnp.promote_types(self.dtype_, jnp.float32)
+        Y = y.reshape(self.n_angles, self.det_count).astype(self.dtype_)
+        Radj = jnp.einsum("ad,icd->aic", Y.astype(self.G.dtype), self.G,
+                          preferred_element_type=acc).astype(self.G.dtype)
+        xt = self._rotate_adjoint_pallas(Radj).reshape(-1)
         return xt.astype(y.dtype)
 
     def matmat(self, Xm):
@@ -231,5 +277,5 @@ register_op(
     ShearFanProjector,
     ["G", "_kx", "_fx", "_ky", "_fy"],
     ["nx", "ny", "det_count", "n_angles", "shape", "dtype_", "_C",
-     "_kgroups", "_so", "_od", "_dw", "_g_dtype"],
+     "_kgroups", "_kq", "_so", "_od", "_dw", "_g_dtype"],
 )

@@ -1,0 +1,281 @@
+"""Shear-packed band format for projector matrices (exact, ROADMAP item 1).
+
+The exact Siddon/Joseph fan(parallel)-beam matrix is unstructured sparsity
+to a generic format, but in the (angle, drive-line, detector) parametrization
+every matrix entry sits within a narrow *band*: ray ``d`` crosses drive line
+``i`` in at most 3 adjacent pixels (measured; see tests), and the crossing
+position is nearly affine in ``d`` with a smoothly varying per-line slope.
+
+Packing (host, exact — every nnz keeps its f32 value and position):
+
+  column(a, i, d, t) = shift[a,i] + P[a,g(i),d] + t,     0 <= t < T
+
+where ``shift`` is a per-(angle, line) integer shear, ``P`` is a per-group
+integer predictor (``g(i)`` groups ``n/G`` consecutive lines; the predictor
+absorbs the common slope), and the tap axis ``T`` absorbs the per-line
+residual (affine-fit error + slope variation within a group). ``T`` is
+typically 5-7 for the reference fan geometry — so the stored stream is
+``na * n * T * p`` weights (~66-94 MB bf16 at 256x256/60 views) versus
+0.45 GB for (32,128) BSR blocks: a ~6x stream reduction with *zero* runtime
+index data on the critical path (the predictor is shared per group and the
+shear is a roll).
+
+The drive axis per angle follows Joseph's rule (rows when |cos θ| >= |sin θ|,
+else columns, operating on the transposed image), chosen statically.
+
+Applies:
+- ``matvec/rmatvec`` dispatch to the Pallas TPU kernel
+  (``pallas_banded.py``) and fall back to the XLA gather apply elsewhere —
+  the XLA form is the correctness oracle (exact same arithmetic band).
+
+Replaces the role of ASTRA's stored projector
+(``trips/test_problems/Tomography.py:73-88``) on the stored-matrix path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.linop import LinearOperator, register_op
+
+
+def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
+    """Pack one angle's (detector, line, column, value) triplets.
+
+    Returns (W (n, T_a, p), shift (n,), P (n_groups, p)) with
+    column = shift[i] + P[g(i), d] + t.
+    """
+    # minimum observed column per (line, detector): cmin[i, d]
+    cmin = np.full((n, p), np.iinfo(np.int32).max, np.int64)
+    np.minimum.at(cmin, (coo_i, coo_d), coo_c)
+    have_id = cmin < np.iinfo(np.int32).max
+
+    # per-line integer shear: the line's median start (dealiases the
+    # per-line offset; any per-line constant works)
+    shift = np.zeros(n, np.int64)
+    have_i = have_id.any(axis=1)
+    for i in np.nonzero(have_i)[0]:
+        shift[i] = int(np.median(cmin[i, have_id[i]]))
+
+    # nonparametric per-group predictor: P[g, d] = min over the group's
+    # lines of (cmin - shift). This absorbs the projective (Moebius)
+    # curvature of the start positions exactly — only the within-group
+    # slope variation is left for the tap axis.
+    gsize = -(-n // n_groups)
+    g_of = np.arange(n) // gsize
+    rel = np.where(have_id, cmin - shift[:, None], np.iinfo(np.int32).max)
+    P = np.full((n_groups, p), np.iinfo(np.int32).max, np.int64)
+    np.minimum.at(P, (g_of[:, None].repeat(p, 1), np.arange(p)[None, :]
+                      .repeat(n, 0)), rel)
+    # (g, d) cells with no data: nearest present detector of the group
+    for g in range(n_groups):
+        miss = P[g] == np.iinfo(np.int32).max
+        if miss.all():
+            P[g] = 0
+        elif miss.any():
+            ok = np.nonzero(~miss)[0]
+            P[g, miss] = P[g, ok[np.argmin(
+                np.abs(np.nonzero(miss)[0][:, None] - ok[None, :]), axis=1)]]
+
+    t = coo_c - shift[coo_i] - P[g_of[coo_i], coo_d]
+    assert (t >= 0).all()
+    T_a = int(t.max()) + 1 if len(t) else 1
+    W = np.zeros((n, T_a, p), np.float32)
+    W[coo_i, t, coo_d] = coo_v
+    return W, shift.astype(np.int32), P.astype(np.int32)
+
+
+class BandedProjector(LinearOperator):
+    """Exact banded repack of an angle-major projector matrix."""
+
+    def __init__(self, W_rows, shift_rows, P_rows, angles_rows,
+                 W_cols, shift_cols, P_cols, angles_cols,
+                 shape, nx, p, n_groups, nnz):
+        # *_rows: angles driven along image rows; *_cols: transposed drive
+        self.W_rows = W_rows
+        self.shift_rows = shift_rows
+        self.P_rows = P_rows
+        self.W_cols = W_cols
+        self.shift_cols = shift_cols
+        self.P_cols = P_cols
+        self._angles_rows = tuple(angles_rows)
+        self._angles_cols = tuple(angles_cols)
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.det_count = p
+        self.n_groups = n_groups
+        self.nnz = nnz
+
+    @classmethod
+    def from_scipy_fan(cls, A, nx, views, angles=None, n_groups=32,
+                       dtype=None):
+        """Pack an angle-major fan/parallel matrix (rows = a*p + d)."""
+        angles = (np.linspace(0, np.pi, views, endpoint=False)
+                  if angles is None else np.asarray(angles))
+        coo = A.tocoo()
+        p = A.shape[0] // len(angles)
+        n = nx
+        drive_rows = np.abs(np.cos(angles)) >= np.abs(np.sin(angles))
+        packs = {True: [], False: []}
+        idx = {True: [], False: []}
+        a_of = coo.row // p
+        d_of = (coo.row % p).astype(np.int64)
+        i_img = (coo.col // nx).astype(np.int64)
+        j_img = (coo.col % nx).astype(np.int64)
+        for a in range(len(angles)):
+            m = a_of == a
+            dr = bool(drive_rows[a])
+            line = i_img[m] if dr else j_img[m]
+            c = j_img[m] if dr else i_img[m]
+            packs[dr].append(
+                _pack_angle(d_of[m], line, c, coo.data[m].astype(np.float32),
+                            n, p, n_groups))
+            idx[dr].append(a)
+
+        def stack(group):
+            if not group:
+                z = np.zeros((0, n), np.int32)
+                return (np.zeros((0, n, 1, p), np.float32), z,
+                        np.zeros((0, n_groups, p), np.int32))
+            T = max(w.shape[1] for w, _, _ in group)
+            W = np.stack([np.pad(w, ((0, 0), (0, T - w.shape[1]), (0, 0)))
+                          for w, _, _ in group])
+            S = np.stack([s for _, s, _ in group])
+            P = np.stack([pp for _, _, pp in group])
+            return W, S, P
+
+        Wr, Sr, Pr = stack(packs[True])
+        Wc, Sc, Pc = stack(packs[False])
+        if dtype is not None:
+            Wr = Wr.astype(dtype)
+            Wc = Wc.astype(dtype)
+        return cls(jnp.asarray(Wr), jnp.asarray(Sr), jnp.asarray(Pr),
+                   idx[True],
+                   jnp.asarray(Wc), jnp.asarray(Sc), jnp.asarray(Pc),
+                   idx[False],
+                   A.shape, nx, p, n_groups, A.nnz)
+
+    @property
+    def T_rows(self):
+        return self.W_rows.shape[2] if self.W_rows.size else 0
+
+    @property
+    def T_cols(self):
+        return self.W_cols.shape[2] if self.W_cols.size else 0
+
+    @property
+    def stored_bytes(self):
+        return (self.W_rows.size * self.W_rows.dtype.itemsize
+                + self.W_cols.size * self.W_cols.dtype.itemsize
+                + self.shift_rows.size * 4 + self.shift_cols.size * 4
+                + self.P_rows.size * 4 + self.P_cols.size * 4)
+
+    def to_scipy(self):
+        """Exact reconstruction of the packed matrix (host oracle)."""
+        from scipy import sparse as sp
+
+        nx, p = self.nx, self.det_count
+        n = nx
+        gsize = -(-n // self.n_groups)
+        rows, cols, vals = [], [], []
+        for W, S, P, aidx, dr in (
+                (self.W_rows, self.shift_rows, self.P_rows,
+                 self._angles_rows, True),
+                (self.W_cols, self.shift_cols, self.P_cols,
+                 self._angles_cols, False)):
+            W, S, P = map(np.asarray, (W, S, P))
+            for k, a in enumerate(aidx):
+                ii, tt, dd = np.nonzero(W[k])
+                cc = S[k][ii] + P[k][ii // gsize, dd] + tt
+                ok = (cc >= 0) & (cc < n)
+                ii, tt, dd, cc = ii[ok], tt[ok], dd[ok], cc[ok]
+                pix = ii * nx + cc if dr else cc * nx + ii
+                rows.append(a * p + dd)
+                cols.append(pix)
+                vals.append(W[k][ii, tt, dd])
+        M = sp.csr_matrix(
+            (np.concatenate(vals).astype(np.float64),
+             (np.concatenate(rows), np.concatenate(cols))), shape=self.shape)
+        M.sum_duplicates()
+        return M
+
+    # ---- XLA applies (oracle / CPU fallback) ----------------------------
+    def _apply_group_xla(self, X, W, S, P, transpose, y_rows=None):
+        """All angles of one drive group. X: (n, n) image (drive-major).
+
+        forward: returns (na_g, p); adjoint: consumes y_rows (na_g, p) and
+        returns the image contribution."""
+        n, p = self.nx, self.det_count
+        gsize = -(-n // self.n_groups)
+        T = W.shape[2]
+        acc = jnp.promote_types(X.dtype if not transpose else y_rows.dtype,
+                                jnp.float32)
+        # column index per (a, i, t, d)
+        g_of = jnp.arange(n) // gsize
+        cidx = (S[:, :, None, None]
+                + P[:, g_of][:, :, None, :]
+                + jnp.arange(T)[None, None, :, None])  # (na_g, n, T, p)
+        cclip = jnp.clip(cidx, 0, n - 1)
+        valid = (cidx >= 0) & (cidx < n)
+        Wv = jnp.where(valid, W.astype(acc), 0)
+        if not transpose:
+            gath = jnp.take_along_axis(
+                X.astype(acc)[None, :, None, :],
+                cclip.reshape(cidx.shape[0], n, -1)[:, :, None, :],
+                axis=3).reshape(cidx.shape)
+            return jnp.einsum("aitd,aitd->ad", Wv, gath,
+                              precision=jax.lax.Precision.HIGHEST)
+        contrib = Wv * y_rows.astype(acc)[:, None, None, :]  # (na_g,n,T,p)
+        flat_tgt = (jnp.arange(n)[None, :, None, None] * n
+                    + cclip).reshape(-1)
+        img = jnp.zeros(n * n, acc).at[flat_tgt].add(contrib.reshape(-1))
+        return img.reshape(n, n)
+
+    def matvec(self, x):
+        from .pallas_banded import banded_apply
+
+        return banded_apply(self, x, transpose=False)
+
+    def rmatvec(self, y):
+        from .pallas_banded import banded_apply
+
+        return banded_apply(self, y, transpose=True)
+
+    def matvec_xla(self, x):
+        n, p = self.nx, self.det_count
+        X = x.reshape(n, n)
+        na = len(self._angles_rows) + len(self._angles_cols)
+        y = jnp.zeros((na, p), jnp.promote_types(x.dtype, jnp.float32))
+        if self.W_rows.size:
+            yr = self._apply_group_xla(X, self.W_rows, self.shift_rows,
+                                       self.P_rows, False)
+            y = y.at[jnp.asarray(self._angles_rows)].set(yr)
+        if self.W_cols.size:
+            yc = self._apply_group_xla(X.T, self.W_cols, self.shift_cols,
+                                       self.P_cols, False)
+            y = y.at[jnp.asarray(self._angles_cols)].set(yc)
+        return y.reshape(-1).astype(x.dtype)
+
+    def rmatvec_xla(self, y):
+        n, p = self.nx, self.det_count
+        Y = y.reshape(-1, p)
+        acc = jnp.promote_types(y.dtype, jnp.float32)
+        img = jnp.zeros((n, n), acc)
+        if self.W_rows.size:
+            img += self._apply_group_xla(
+                None, self.W_rows, self.shift_rows, self.P_rows, True,
+                y_rows=Y[jnp.asarray(self._angles_rows)])
+        if self.W_cols.size:
+            img += self._apply_group_xla(
+                None, self.W_cols, self.shift_cols, self.P_cols, True,
+                y_rows=Y[jnp.asarray(self._angles_cols)]).T
+        return img.reshape(-1).astype(y.dtype)
+
+
+register_op(
+    BandedProjector,
+    ["W_rows", "shift_rows", "P_rows", "W_cols", "shift_cols", "P_cols"],
+    ["_angles_rows", "_angles_cols", "shape", "nx", "det_count", "n_groups",
+     "nnz"],
+)

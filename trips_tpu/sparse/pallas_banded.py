@@ -1,0 +1,19 @@
+"""Dispatch for the banded projector apply (Pallas kernel on TPU)."""
+from __future__ import annotations
+
+import jax
+
+
+def _use_pallas():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def banded_apply(op, v, transpose: bool):
+    if _use_pallas() and getattr(op, "prefer_pallas", True):
+        from .pallas_banded_kernel import banded_apply_pallas
+
+        return banded_apply_pallas(op, v, transpose)
+    return op.rmatvec_xla(v) if transpose else op.matvec_xla(v)
