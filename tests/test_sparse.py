@@ -174,3 +174,57 @@ def test_int8_todense_not_zero(rng):
     assert rel < 0.02
     # quant scales count toward the streamed bytes
     assert op.stored_bytes > op.blocks.size
+
+
+# ---- Pallas BSR kernel under test (interpret=True; VERDICT r1 item 4) ----
+
+def _pallas_bsr_roundtrip(A, bs, rng, block_dtype=None):
+    import jax.numpy as jnp
+
+    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply
+
+    kw = {"block_dtype": block_dtype} if block_dtype else {}
+    op = BsrOperator.from_scipy(A.tocsr(), bs=bs, **kw)
+    br, bc = op.block_shape
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    y = rng.standard_normal(A.shape[0]).astype(np.float32)
+    fwd = np.asarray(_pallas_bsr_apply(
+        op.blocks, op.brow, op.bcol, jnp.asarray(x), br, bc, A.shape[0],
+        False, interpret=True))
+    adj = np.asarray(_pallas_bsr_apply(
+        op.blocks, op.brow, op.bcol, jnp.asarray(y), br, bc, A.shape[1],
+        True, interpret=True))
+    return fwd, adj, x, y
+
+
+def test_pallas_bsr_matches_scipy(rng):
+    """Forward + adjoint Pallas BSR kernel vs scipy on a ragged-edge
+    matrix (m, n not multiples of the block shape; empty block rows)."""
+    A = random_sparse(rng, 123, 87)
+    A = A.tolil()
+    A[32:48, :] = 0.0  # an empty block-row band
+    A = A.tocsr()
+    A.eliminate_zeros()
+    fwd, adj, x, y = _pallas_bsr_roundtrip(A, 16, rng)
+    np.testing.assert_allclose(fwd, A @ x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(adj, A.T @ y, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bsr_rect_blocks(rng):
+    """Rectangular (8, 32) blocks — the TPU-shaped configuration."""
+    A = random_sparse(rng, 96, 160)
+    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply  # noqa: F401
+
+    import jax.numpy as jnp
+
+    op = BsrOperator.from_scipy(A.tocsr(), block_shape=(8, 32))
+    x = rng.standard_normal(160).astype(np.float32)
+    y = rng.standard_normal(96).astype(np.float32)
+    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply as pk
+
+    fwd = np.asarray(pk(op.blocks, op.brow, op.bcol, jnp.asarray(x), 8, 32,
+                        96, False, interpret=True))
+    adj = np.asarray(pk(op.blocks, op.brow, op.bcol, jnp.asarray(y), 8, 32,
+                        160, True, interpret=True))
+    np.testing.assert_allclose(fwd, A @ x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(adj, A.T @ y, rtol=1e-5, atol=1e-5)

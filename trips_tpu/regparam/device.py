@@ -151,21 +151,53 @@ def gcv_lambda(R_A, R_L, bproj, out_norm2=0.0, t_term=None, variant="standard"):
     return fminbound(f, 1e-9, 1e2, xtol=1e-12, maxfun=1000)
 
 
-@jax.jit
-def dp_lambda(B, bproj, delta, eta=1.01):
-    """On-device DP for the standard-form projected system (L = I):
-    Newton on beta = 1/lam in filtered SVD coordinates (mirrors
-    dp.py:_dp_newton / reference discrepancy_principle.py:76-99).
+def _lcurve_curvature(lam, R_A, R_L, bproj, pin):
+    """Plain (non-log) curvature of (||R_A x - b||^2, ||R_L x||^2), the
+    reference's parametrization (l_curve.py:23-88,171-188). ``pin`` adds 1
+    to the inactive diagonal (0 for unmasked use)."""
+    C = R_A.T @ R_A
+    D = R_L.T @ R_L
+    lhs = C + lam * D + pin
+    x = jnp.linalg.solve(lhs, R_A.T @ bproj)
+    dx = -jnp.linalg.solve(lhs, D @ x)
+    inv4 = jnp.linalg.solve(lhs, D @ x)
+    d2x = 2.0 * jnp.linalg.solve(lhs, D @ dx - D @ inv4)
 
+    def term(M, c, x, dx, d2x):
+        r = M @ x - c
+        Mdx = M @ dx
+        first = 2.0 * jnp.vdot(r, Mdx)
+        second = 2.0 * (jnp.vdot(Mdx, Mdx) + jnp.vdot(r, M @ d2x))
+        return first, second
+
+    f1, f2 = term(R_A, bproj, x, dx, d2x)
+    g1, g2 = term(R_L, jnp.zeros((R_L.shape[0],), x.dtype), x, dx, d2x)
+    num = -g1 * f2 + f1 * g2
+    den = (g1**2 + f1**2) ** 1.5
+    return num / den
+
+
+@jax.jit
+def lcurve_lambda(R_A, R_L, bproj):
+    """On-device L-curve: lam maximizing the analytic curvature, bounded
+    Brent on [1e-9, 2] (same domain/tolerances as the host rule)."""
+    bproj = jnp.reshape(bproj, (-1,))
+    pin = jnp.zeros((R_A.shape[1], R_A.shape[1]), bproj.dtype)
+    f = lambda lam: -_lcurve_curvature(lam, R_A, R_L, bproj, pin)
+    return fminbound(f, 1e-9, 2.0, xtol=1e-12, maxfun=1000)
+
+
+def _dp_newton_filtered(sv2, bhat, thresh, testzero):
+    """Newton on beta = 1/lam in filtered SVD coordinates (mirrors
+    dp.py:_dp_newton / reference discrepancy_principle.py:76-99).
     Returns 0 when the threshold is unattainable (testzero >= 0).
-    """
-    thresh = (eta * delta) ** 2
-    U, S, _ = jnp.linalg.svd(B, full_matrices=True)
-    mA, nA = B.shape
-    sv2 = jnp.concatenate([S**2, jnp.zeros(max(mA - nA, 0), S.dtype)])
-    bhat = U.T @ jnp.reshape(bproj, (-1,))
-    tail2 = jnp.sum(bhat[nA:] ** 2) if mA > nA else jnp.asarray(0.0, bhat.dtype)
-    testzero = tail2 - thresh
+
+    float32-robust: f' is evaluated in the cancellation-free analytic form
+    -2 sum(sv2 * (filt*bhat)^2 * filt) — the reference's difference form
+    2/beta * z(w - z) underflows to 0 in f32 when beta*sv2 << 1 (w == z to
+    machine precision), which turns the first Newton step into inf/NaN on
+    TPU — and any non-finite or non-positive step stalls at the last good
+    beta instead of propagating."""
 
     def newton(_):
         def body(s):
@@ -173,17 +205,33 @@ def dp_lambda(B, bproj, delta, eta=1.01):
             filt = 1.0 / (sv2 * beta + 1.0)
             zbeta = filt * bhat
             f = jnp.sum(zbeta**2) - thresh
-            wbeta = filt * zbeta
-            fp = 2.0 / beta * jnp.dot(zbeta, wbeta - zbeta)
+            fp = -2.0 * jnp.sum(sv2 * zbeta**2 * filt)
             beta_new = beta - f / fp
-            done = jnp.abs(beta_new - beta) < 1e-12 * beta
+            ok = jnp.isfinite(beta_new) & (beta_new > 0)
+            beta_new = jnp.where(ok, beta_new, beta)
+            done = (jnp.abs(beta_new - beta) < 1e-12 * beta) | ~ok
             return (beta_new, done, it + 1)
 
         def cond(s):
             _, done, it = s
             return jnp.logical_and(~done, it < 100)
 
-        beta, _, _ = jax.lax.while_loop(cond, body, (jnp.asarray(1e-8, bhat.dtype), jnp.asarray(False), 0))
+        beta, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1e-8, bhat.dtype), jnp.asarray(False), 0))
         return 1.0 / beta
 
-    return jax.lax.cond(testzero >= 0, lambda _: jnp.asarray(0.0, bhat.dtype), newton, None)
+    return jax.lax.cond(testzero >= 0,
+                        lambda _: jnp.asarray(0.0, bhat.dtype), newton, None)
+
+
+@jax.jit
+def dp_lambda(B, bproj, delta, eta=1.01):
+    """On-device DP for the standard-form projected system (L = I)."""
+    thresh = (eta * delta) ** 2
+    U, S, _ = jnp.linalg.svd(B, full_matrices=True)
+    mA, nA = B.shape
+    sv2 = jnp.concatenate([S**2, jnp.zeros(max(mA - nA, 0), S.dtype)])
+    bhat = U.T @ jnp.reshape(bproj, (-1,))
+    tail2 = jnp.sum(bhat[nA:] ** 2) if mA > nA else jnp.asarray(0.0, bhat.dtype)
+    testzero = tail2 - thresh
+    return _dp_newton_filtered(sv2, bhat, thresh, testzero)

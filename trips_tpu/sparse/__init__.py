@@ -1,4 +1,5 @@
 from .ell import EllOperator
 from .bsr import BsrOperator
+from .banded import BandedProjector
 
-__all__ = ["EllOperator", "BsrOperator"]
+__all__ = ["EllOperator", "BsrOperator", "BandedProjector"]

@@ -81,8 +81,8 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
     t = coo_c - shift[coo_i] - P[g_of[coo_i], coo_d]
     assert (t >= 0).all()
     T_a = int(t.max()) + 1 if len(t) else 1
-    W = np.zeros((n, T_a, p), np.float32)
-    W[coo_i, t, coo_d] = coo_v
+    W = np.zeros((T_a, n, p), np.float32)
+    W[t, coo_i, coo_d] = coo_v
     return W, shift.astype(np.int32), P.astype(np.int32)
 
 
@@ -91,8 +91,11 @@ class BandedProjector(LinearOperator):
 
     def __init__(self, W_rows, shift_rows, P_rows, angles_rows,
                  W_cols, shift_cols, P_cols, angles_cols,
-                 shape, nx, p, n_groups, nnz):
-        # *_rows: angles driven along image rows; *_cols: transposed drive
+                 shape, nx, p, n_groups, nnz, prefer_pallas=True):
+        # *_rows: angles driven along image rows; *_cols: transposed drive.
+        # W_* layout: (na_g, T, n, p_pad) with the detector lane axis padded
+        # to a multiple of 128 (zero weights past det_count) so the Pallas
+        # kernel's VMEM tiles are lane-aligned.
         self.W_rows = W_rows
         self.shift_rows = shift_rows
         self.P_rows = P_rows
@@ -106,10 +109,11 @@ class BandedProjector(LinearOperator):
         self.det_count = p
         self.n_groups = n_groups
         self.nnz = nnz
+        self.prefer_pallas = prefer_pallas
 
     @classmethod
-    def from_scipy_fan(cls, A, nx, views, angles=None, n_groups=32,
-                       dtype=None):
+    def from_scipy_fan(cls, A, nx, views, angles=None, n_groups=64,
+                       dtype=None, lane_pad=128, prefer_pallas=True):
         """Pack an angle-major fan/parallel matrix (rows = a*p + d)."""
         angles = (np.linspace(0, np.pi, views, endpoint=False)
                   if angles is None else np.asarray(angles))
@@ -133,16 +137,20 @@ class BandedProjector(LinearOperator):
                             n, p, n_groups))
             idx[dr].append(a)
 
+        p_pad = -(-p // lane_pad) * lane_pad
+
         def stack(group):
             if not group:
                 z = np.zeros((0, n), np.int32)
-                return (np.zeros((0, n, 1, p), np.float32), z,
-                        np.zeros((0, n_groups, p), np.int32))
-            T = max(w.shape[1] for w, _, _ in group)
-            W = np.stack([np.pad(w, ((0, 0), (0, T - w.shape[1]), (0, 0)))
+                return (np.zeros((0, 1, n, p_pad), np.float32), z,
+                        np.zeros((0, n_groups, p_pad), np.int32))
+            T = max(w.shape[0] for w, _, _ in group)
+            W = np.stack([np.pad(w, ((0, T - w.shape[0]), (0, 0),
+                                     (0, p_pad - p)))
                           for w, _, _ in group])
             S = np.stack([s for _, s, _ in group])
-            P = np.stack([pp for _, _, pp in group])
+            P = np.stack([np.pad(pp, ((0, 0), (0, p_pad - p)), mode="edge")
+                          for _, _, pp in group])
             return W, S, P
 
         Wr, Sr, Pr = stack(packs[True])
@@ -154,15 +162,16 @@ class BandedProjector(LinearOperator):
                    idx[True],
                    jnp.asarray(Wc), jnp.asarray(Sc), jnp.asarray(Pc),
                    idx[False],
-                   A.shape, nx, p, n_groups, A.nnz)
+                   A.shape, nx, p, n_groups, A.nnz,
+                   prefer_pallas=prefer_pallas)
 
     @property
     def T_rows(self):
-        return self.W_rows.shape[2] if self.W_rows.size else 0
+        return self.W_rows.shape[1] if self.W_rows.size else 0
 
     @property
     def T_cols(self):
-        return self.W_cols.shape[2] if self.W_cols.size else 0
+        return self.W_cols.shape[1] if self.W_cols.size else 0
 
     @property
     def stored_bytes(self):
@@ -186,14 +195,14 @@ class BandedProjector(LinearOperator):
                  self._angles_cols, False)):
             W, S, P = map(np.asarray, (W, S, P))
             for k, a in enumerate(aidx):
-                ii, tt, dd = np.nonzero(W[k])
+                tt, ii, dd = np.nonzero(W[k])
                 cc = S[k][ii] + P[k][ii // gsize, dd] + tt
-                ok = (cc >= 0) & (cc < n)
+                ok = (cc >= 0) & (cc < n) & (dd < p)
                 ii, tt, dd, cc = ii[ok], tt[ok], dd[ok], cc[ok]
                 pix = ii * nx + cc if dr else cc * nx + ii
                 rows.append(a * p + dd)
                 cols.append(pix)
-                vals.append(W[k][ii, tt, dd])
+                vals.append(W[k][tt, ii, dd])
         M = sp.csr_matrix(
             (np.concatenate(vals).astype(np.float64),
              (np.concatenate(rows), np.concatenate(cols))), shape=self.shape)
@@ -204,30 +213,31 @@ class BandedProjector(LinearOperator):
     def _apply_group_xla(self, X, W, S, P, transpose, y_rows=None):
         """All angles of one drive group. X: (n, n) image (drive-major).
 
-        forward: returns (na_g, p); adjoint: consumes y_rows (na_g, p) and
-        returns the image contribution."""
-        n, p = self.nx, self.det_count
+        forward: returns (na_g, p_pad); adjoint: consumes y_rows (na_g, p)
+        and returns the image contribution."""
+        n = self.nx
         gsize = -(-n // self.n_groups)
-        T = W.shape[2]
+        T, p_pad = W.shape[1], W.shape[3]
         acc = jnp.promote_types(X.dtype if not transpose else y_rows.dtype,
                                 jnp.float32)
-        # column index per (a, i, t, d)
+        # column index per (a, t, i, d)
         g_of = jnp.arange(n) // gsize
-        cidx = (S[:, :, None, None]
-                + P[:, g_of][:, :, None, :]
-                + jnp.arange(T)[None, None, :, None])  # (na_g, n, T, p)
+        cidx = (S[:, None, :, None]
+                + P[:, g_of][:, None, :, :]
+                + jnp.arange(T)[None, :, None, None])  # (na_g, T, n, p_pad)
         cclip = jnp.clip(cidx, 0, n - 1)
         valid = (cidx >= 0) & (cidx < n)
         Wv = jnp.where(valid, W.astype(acc), 0)
         if not transpose:
             gath = jnp.take_along_axis(
-                X.astype(acc)[None, :, None, :],
-                cclip.reshape(cidx.shape[0], n, -1)[:, :, None, :],
-                axis=3).reshape(cidx.shape)
-            return jnp.einsum("aitd,aitd->ad", Wv, gath,
+                X.astype(acc)[None, None, :, :],
+                cclip, axis=3)
+            return jnp.einsum("atid,atid->ad", Wv, gath,
                               precision=jax.lax.Precision.HIGHEST)
-        contrib = Wv * y_rows.astype(acc)[:, None, None, :]  # (na_g,n,T,p)
-        flat_tgt = (jnp.arange(n)[None, :, None, None] * n
+        ypad = jnp.pad(y_rows.astype(acc),
+                       ((0, 0), (0, p_pad - y_rows.shape[1])))
+        contrib = Wv * ypad[:, None, None, :]  # (na_g, T, n, p_pad)
+        flat_tgt = (jnp.arange(n)[None, None, :, None] * n
                     + cclip).reshape(-1)
         img = jnp.zeros(n * n, acc).at[flat_tgt].add(contrib.reshape(-1))
         return img.reshape(n, n)
@@ -250,11 +260,11 @@ class BandedProjector(LinearOperator):
         if self.W_rows.size:
             yr = self._apply_group_xla(X, self.W_rows, self.shift_rows,
                                        self.P_rows, False)
-            y = y.at[jnp.asarray(self._angles_rows)].set(yr)
+            y = y.at[jnp.asarray(self._angles_rows)].set(yr[:, :p])
         if self.W_cols.size:
             yc = self._apply_group_xla(X.T, self.W_cols, self.shift_cols,
                                        self.P_cols, False)
-            y = y.at[jnp.asarray(self._angles_cols)].set(yc)
+            y = y.at[jnp.asarray(self._angles_cols)].set(yc[:, :p])
         return y.reshape(-1).astype(x.dtype)
 
     def rmatvec_xla(self, y):

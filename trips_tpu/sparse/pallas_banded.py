@@ -13,7 +13,8 @@ def _use_pallas():
 
 def banded_apply(op, v, transpose: bool):
     if _use_pallas() and getattr(op, "prefer_pallas", True):
-        from .pallas_banded_kernel import banded_apply_pallas
+        from .pallas_banded_kernel import banded_apply_pallas, pallas_supported
 
-        return banded_apply_pallas(op, v, transpose)
+        if pallas_supported(op):
+            return banded_apply_pallas(op, v, transpose)
     return op.rmatvec_xla(v) if transpose else op.matvec_xla(v)

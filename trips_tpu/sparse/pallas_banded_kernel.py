@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for the shear-packed banded projector (ROADMAP item 1).
+
+The banded pack (``banded.py``) stores, per angle, a (T, n, p) weight slab
+with ``column(a, i, t, d) = S[a,i] + P[a, g(i), d] + t``. A generic gather
+apply is index-bound on TPU (~70-100 ns per indexed access); this kernel
+removes *all* runtime gathers by restructuring the apply into three dense,
+VPU/MXU-shaped stages executed per angle with everything resident in VMEM:
+
+1. **Shear**: ``Xs[i, c] = X[i, (c + S[a,i]) mod n]`` — per-row circular
+   roll, decomposed into log2(n) masked lane-rolls (native VPU moves, the
+   same machinery as ``operators/pallas_shear.py``).
+2. **Band extraction as one-hot matmul**: for line-group ``g`` the
+   predictor column ``Pm[d] = P[a,g,d] mod n`` selects, per detector, one
+   lane of the sheared rows. Building the one-hot matrix
+   ``E[c, d] = (c == Pm[d])`` from a broadcasted iota turns the selection
+   into ``U = Xg_taps @ E`` on the MXU, where ``Xg_taps`` stacks the
+   group's rows rolled by each tap offset ``t`` (so one (T·gsize, n) x
+   (n, p) matmul covers the whole band of the group). The mod-n wrap is
+   exact: packed weights only exist where the true column is in range, so
+   wrapped lanes are always multiplied by stored zeros.
+3. **Weight contraction**: ``y[a] += sum_{t,i} W[a,t,i,:] * U[(t,i),:]``
+   — an elementwise multiply-reduce on the VPU.
+
+The adjoint kernel runs the exact transposed stages in reverse order
+(multiply by W, matmul against ``E^T``, un-roll taps, un-shear rows) and
+accumulates the per-angle image contributions into a VMEM-resident output
+across sequential grid steps, so ``<Ax, y> == <x, A'y>`` holds to roundoff
+of the accumulation dtype.
+
+Precision: with float32 weight storage the one-hot matmuls run at
+``Precision.HIGHEST`` (bit-accurate selection); bfloat16 storage uses the
+native MXU path (inputs rounded to bf16, f32 accumulate).
+
+Replaces the stored-matrix role of ASTRA's projector
+(``trips/test_problems/Tomography.py:73-88``) on the TPU fast path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nbits(n):
+    return int(n - 1).bit_length()
+
+
+def _roll_rows(buf, s_col, n, sign):
+    """Per-row circular roll along lanes: out(c) = in(c + sign*s) per row.
+
+    ``s_col`` is an (n, 1) int32 column of non-negative shifts; ``sign``
+    +1 gives the pull-back (forward shear), -1 its exact transpose."""
+    s = jnp.mod(s_col, n)
+    for k in range(_nbits(n)):
+        mask = ((s >> k) & 1) > 0
+        buf = jnp.where(mask, jnp.roll(buf, -sign * (1 << k), axis=1), buf)
+    return buf
+
+
+def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
+                f32_exact):
+    a = pl.program_id(0)
+    p_pad = w_ref.shape[3]
+    gsize = n // n_groups
+    mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if f32_exact else None
+    xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
+    w = w_ref[0]   # (T, n, p_pad) value; sliced per group below
+    pm = p_ref[0]  # (n_groups, p_pad)
+    acc = jnp.zeros((1, p_pad), jnp.float32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
+    for g in range(n_groups):
+        E = (iota_c == pm[g, :][None, :]).astype(mm_dtype)
+        xg = xs[g * gsize:(g + 1) * gsize, :]
+        taps = jnp.concatenate(
+            [xg if t == 0 else jnp.roll(xg, -t, axis=1)
+             for t in range(T)], axis=0)
+        U = jax.lax.dot_general(
+            taps.astype(mm_dtype), E,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
+        acc = acc + jnp.sum(wg.astype(jnp.float32) * U, axis=0,
+                            keepdims=True)
+    o_ref[a, :] = acc[0]
+
+
+def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
+                f32_exact):
+    a = pl.program_id(0)
+    p_pad = w_ref.shape[3]
+    gsize = n // n_groups
+    mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if f32_exact else None
+    y = y_ref[a, :].astype(jnp.float32)  # (p_pad,)
+    w = w_ref[0]
+    pm = p_ref[0]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
+    blocks = []
+    for g in range(n_groups):
+        Et = (iota_c == pm[g, :][:, None]).astype(mm_dtype)
+        wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
+        Z = wg.astype(jnp.float32) * y[None, :]
+        U = jax.lax.dot_general(
+            Z.astype(mm_dtype), Et,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).reshape(T, gsize, n)
+        blk = U[0]
+        for t in range(1, T):
+            blk = blk + jnp.roll(U[t], t, axis=1)
+        blocks.append(blk)
+    xs_adj = jnp.concatenate(blocks, axis=0)
+    img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
+
+    @pl.when(a == 0)
+    def _():
+        o_ref[...] = img
+
+    @pl.when(a != 0)
+    def _():
+        o_ref[...] = o_ref[...] + img
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _fwd_call(X, W, S, Pm, n_groups, interpret=False):
+    na, T, n, p_pad = W.shape
+    kern = functools.partial(
+        _fwd_kernel, n=n, n_groups=n_groups, T=T,
+        f32_exact=W.dtype == jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(na,),
+        in_specs=[
+            pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, p_pad), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # X whole
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # y whole
+        out_shape=jax.ShapeDtypeStruct((na, p_pad), jnp.float32),
+        interpret=interpret,
+    )(W, S.reshape(na, n, 1), Pm, X)
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _adj_call(Y, W, S, Pm, n_groups, interpret=False):
+    na, T, n, p_pad = W.shape
+    kern = functools.partial(
+        _adj_kernel, n=n, n_groups=n_groups, T=T,
+        f32_exact=W.dtype == jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(na,),
+        in_specs=[
+            pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, p_pad), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Y whole
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # image whole
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        interpret=interpret,
+    )(W, S.reshape(na, n, 1), Pm, Y)
+
+
+def pallas_supported(op) -> bool:
+    """Alignment preconditions for the TPU kernel (else: XLA fallback)."""
+    n = op.nx
+    if n % op.n_groups or n % 128:
+        return False
+    for W in (op.W_rows, op.W_cols):
+        if W.size and W.shape[3] % 128:
+            return False
+    return True
+
+
+def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False):
+    n, p = op.nx, op.det_count
+    na = op.shape[0] // p
+    groups = (
+        (op.W_rows, op.shift_rows, op.P_rows, op._angles_rows, False),
+        (op.W_cols, op.shift_cols, op.P_cols, op._angles_cols, True),
+    )
+    if not transpose:
+        X = v.reshape(n, n).astype(jnp.float32)
+        y = jnp.zeros((na, p), jnp.float32)
+        for W, S, P, aidx, is_cols in groups:
+            if not W.size:
+                continue
+            yg = _fwd_call(X.T if is_cols else X, W, S, jnp.mod(P, n),
+                           op.n_groups, interpret=interpret)
+            y = y.at[jnp.asarray(aidx)].set(yg[:, :p])
+        return y.reshape(-1).astype(v.dtype)
+    Y = v.reshape(na, p).astype(jnp.float32)
+    img = jnp.zeros((n, n), jnp.float32)
+    for W, S, P, aidx, is_cols in groups:
+        if not W.size:
+            continue
+        p_pad = W.shape[3]
+        Yg = jnp.pad(Y[jnp.asarray(aidx)], ((0, 0), (0, p_pad - p)))
+        contrib = _adj_call(Yg, W, S, jnp.mod(P, n), op.n_groups,
+                            interpret=interpret)
+        img = img + (contrib.T if is_cols else contrib)
+    return img.reshape(-1).astype(v.dtype)

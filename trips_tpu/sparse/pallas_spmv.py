@@ -73,8 +73,10 @@ def _make_kernel(G, transpose):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("br", "bc", "m_out", "transpose"))
-def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose):
+@partial(jax.jit, static_argnames=("br", "bc", "m_out", "transpose",
+                                   "interpret"))
+def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose,
+                      interpret=False):
     nblocks = blocks.shape[0]
     G = GROUP
     npad = (-nblocks) % G
@@ -114,6 +116,7 @@ def _pallas_bsr_apply(blocks, brow, bcol, x, br, bc, m_out, transpose):
             bytes_accessed=nblocks * br * bc * blocks.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(brow, bcol, blocks, xb)
     return yb.reshape(-1)[:m_out].astype(x.dtype)
 
