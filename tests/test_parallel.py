@@ -132,3 +132,97 @@ def test_pod_mesh_single_process():
 
     mesh = pod_mesh(time_shards=2)
     assert mesh.shape == {"time": 2, "rows": 4}
+
+
+# ---- sharded BSR: the multi-chip path on the fast format (VERDICT r1 #3) --
+
+def test_sharded_bsr_matches_scipy(rng, mesh8):
+    from trips_tpu.parallel import ShardedBsrOperator
+
+    A = sp.random(96, 250, density=0.1, format="csr",
+                  random_state=np.random.RandomState(5)).astype(np.float32)
+    op = ShardedBsrOperator.from_scipy(A, mesh8, block_shape=(8, 16))
+    x = np.zeros(op.shape[1], np.float32)
+    x[:250] = rng.standard_normal(250).astype(np.float32)
+    y = rng.standard_normal(op.shape[0]).astype(np.float32)
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got[:96], A @ x[:250], atol=1e-5)
+    assert np.abs(got[96:]).max(initial=0.0) == 0.0
+    gt = np.asarray(op.rmatvec(jnp.asarray(y)))
+    np.testing.assert_allclose(gt[:250], A.T @ y[:96], atol=1e-5)
+    assert np.abs(gt[250:]).max(initial=0.0) == 0.0
+
+
+def test_sharded_bsr_cgls(rng, mesh8):
+    """Fused CGLS over the sharded BSR operator (collectives inside jit)."""
+    from trips_tpu.parallel import ShardedBsrOperator
+
+    m = n = 96
+    A = sp.random(m, n, density=0.2, format="csr",
+                  random_state=np.random.RandomState(6))
+    A = (A + sp.identity(n)).tocsr()
+    op = ShardedBsrOperator.from_scipy(A, mesh8, block_shape=(8, 16))
+    xt = rng.standard_normal(n)
+    b = np.zeros(op.shape[0], np.float32)
+    b[:m] = (A @ xt).astype(np.float32)
+    x, k = cgls(op, jnp.asarray(b), jnp.zeros(op.shape[1], jnp.float32),
+                300, 1e-12)
+    assert np.linalg.norm(np.asarray(x)[:n] - xt) / np.linalg.norm(xt) < 1e-4
+
+
+def test_sharded_dynamic_bsr(rng, mesh24):
+    from trips_tpu.parallel import ShardedDynamicBsrOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
+        nx=16, nt=4, views=8, noise_level=0.0
+    )
+    sop = ShardedDynamicBsrOperator.from_blocks(AA, mesh24,
+                                                block_shape=(8, 32))
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               A @ x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               A.T @ y, atol=1e-4)
+
+
+def test_sharded_dynamic_bsr_cgls_with_tv(rng, mesh24):
+    """Regularized dynamic step over the BSR-sharded operator: SpMV fwd/adj
+    + spacetime-TV halo + global reductions jitted over the 2-D mesh."""
+    from trips_tpu.parallel import ShardedDynamicBsrOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
+        nx=16, nt=4, views=8, noise_level=0.01
+    )
+    sop = ShardedDynamicBsrOperator.from_blocks(AA, mesh24,
+                                                block_shape=(8, 32))
+    L = SpaceTimeDerivative(nx, ny, nt)
+    lam = 0.01
+
+    @jax.jit
+    def step(op, bv, x):
+        r = op.matvec(x) - bv
+        g = op.rmatvec(r) + lam * L.rmatvec(L.matvec(x))
+        return x - 0.01 * g, jnp.linalg.norm(g)
+
+    x = jnp.zeros(sop.shape[1], jnp.float32)
+    bv = jnp.asarray(b, jnp.float32)
+    for _ in range(3):
+        x, gn = step(sop, bv, x)
+    assert np.isfinite(float(gn))
+
+
+def test_sharded_bsr_bf16_blocks(rng, mesh8):
+    """bf16 block storage on the sharded path (the TPU bandwidth format)."""
+    from trips_tpu.parallel import ShardedBsrOperator
+
+    A = sp.random(96, 128, density=0.15, format="csr",
+                  random_state=np.random.RandomState(9)).astype(np.float32)
+    op = ShardedBsrOperator.from_scipy(A, mesh8, block_shape=(8, 16),
+                                       block_dtype=jnp.bfloat16)
+    x = np.zeros(op.shape[1], np.float32)
+    x[:128] = rng.standard_normal(128).astype(np.float32)
+    got = np.asarray(op.matvec(jnp.asarray(x)))[:96]
+    ref = A @ x[:128]
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel

@@ -19,23 +19,25 @@ def run(nx=256, views=60, iters=50, device_counts=None):
     import jax.numpy as jnp
 
     from ..krylov import cgls
-    from ..parallel import ShardedEllOperator, make_mesh
+    from ..parallel import ShardedBsrOperator, make_mesh
     from ..problems.projector import fan_beam_matrix
-    from ..sparse import EllOperator
 
     devices = jax.devices()
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
 
     A = fan_beam_matrix(nx, views=views).astype(np.float32)
-    # pad rows/cols to the largest shard count
-    op0 = EllOperator.from_scipy(A)
     b = jnp.asarray((A @ np.random.default_rng(0).random(A.shape[1])).astype(np.float32))
 
     results = []
     for nd in device_counts:
         mesh = make_mesh({"rows": nd}, devices=devices[:nd])
-        sop = ShardedEllOperator.from_ell(op0, mesh)
+        # the TPU-recommended format: sharded BSR block stream
+        # (bf16 blocks on TPU halve the HBM stream; f32 on CPU sim)
+        sop = ShardedBsrOperator.from_scipy(
+            A, mesh, block_shape=(32, 128),
+            block_dtype=jnp.bfloat16 if devices[0].platform == "tpu"
+            else None)
         bp = jnp.pad(b, (0, sop.shape[0] - b.shape[0]))
         x0 = jnp.zeros(sop.shape[1], jnp.float32)
         x, k = cgls(sop, bp, x0, 2, 0.0)

@@ -15,3 +15,7 @@ __all__ = [
     "pod_mesh",
     "stack_ell_tables",
 ]
+
+from .sharded_bsr import ShardedBsrOperator, ShardedDynamicBsrOperator  # noqa: E402
+
+__all__ += ["ShardedBsrOperator", "ShardedDynamicBsrOperator"]
