@@ -6,6 +6,7 @@ from .dynamic import (
     generate_stempo,
     generate_synthetic_dynamic,
 )
+from .gelphantom import generate_gelPhantom
 from .projector import fan_beam_matrix, parallel_beam_matrix
 from .tomography import Tomography, device_sparse_operator
 
@@ -17,6 +18,7 @@ __all__ = [
     "fan_beam_matrix",
     "generate_crossPhantom",
     "generate_emoji",
+    "generate_gelPhantom",
     "generate_stempo",
     "generate_synthetic_dynamic",
     "parallel_beam_matrix",

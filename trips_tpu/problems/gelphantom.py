@@ -1,11 +1,25 @@
 """gelPhantom dynamic cone-beam CT (CIL-equivalent loader).
 
 Reference: ``trips/utilities/cil_io.py:35-224`` parses the Helsinki
-gel-phantom .mat bundles (Zenodo 3696817) and builds CIL ``Cone2D``
-projection operators. CIL's Cone2D geometry is the planar fan-beam geometry
-our native projector already implements (source distance / detector
-distance / detector pixel size), so the operator here is a native fan-beam
-CSR with the metadata-supplied geometry — no CIL dependency.
+gel-phantom .mat bundle (Zenodo 3696817, one v5 file holding a struct with
+per-frame parameter structs and a stacked sinogram array) and builds CIL
+``Cone2D`` projection operators. CIL's Cone2D geometry is the planar
+fan-beam geometry our native projector implements, mapped as:
+
+- reconstruction voxel size v = correctedPixelSize / geometricMagnification
+  (CIL's ``AcquisitionGeometry.get_ImageGeometry()`` default — the
+  reference overrides ``voxel_num`` to 256 but keeps the default voxel
+  *size*, cil_io.py:196-198);
+- the reference corrects the panel pixel size by 2x
+  (``pixelSize = 2*file_info['pixelSize']``, cil_io.py:176);
+- angles are sliced with CIL ``Slicer(roi={'angle': (0, 360, step)})``,
+  step 20 (cil_io.py:202-204);
+- source/detector distances and detector width are expressed in voxel
+  units for the native ``fan_beam_matrix``.
+
+Rotation-direction and detector-orientation conventions vs CIL are
+asserted by the adjoint/shape tests; a numeric cross-check against CIL
+itself requires the CIL package (not in this image) and real data.
 
 Downloads are gated (no network egress); files must exist locally.
 """
@@ -17,76 +31,79 @@ from .dynamic import _download
 from .projector import fan_beam_matrix
 
 
-def _mat_struct(path):
+def read_frames(path):
+    """Parse the gel-phantom bundle (reference cil_io.py:35-91): returns
+    dict with 'sinograms' (nt, n_angles, n_det), per-frame-shared geometry
+    scalars, and 'angles' in radians."""
     import scipy.io as spio
 
-    return spio.loadmat(path, struct_as_record=False, squeeze_me=True)
+    mat = spio.loadmat(path, mat_dtype=True, squeeze_me=True,
+                       struct_as_record=False)
+    key = [k for k in mat if not k.startswith("__")][0]
+    rec = mat[key]
+    sinograms = np.asarray(rec.sinogram, dtype=float)
+    if sinograms.ndim == 2:
+        sinograms = sinograms[None]
+    p0 = np.atleast_1d(rec.parameters)[0]
 
+    def sc(name):
+        return float(np.asarray(getattr(p0, name)).reshape(-1)[0])
 
-def read_gel_frame(path):
-    """Parse one gel-phantom frame: sinogram + scan geometry metadata
-    (reference cil_io.py:35-149)."""
-    f = _mat_struct(path)
-    key = [k for k in f if not k.startswith("__")][0]
-    rec = f[key]
-    sino = np.asarray(rec.sinogram, dtype=float)
-    params = rec.parameters
-    geom = {
-        "distanceSourceDetector": float(params.distanceSourceDetector),
-        "distanceSourceOrigin": float(params.distanceSourceOrigin),
-        "geometricMagnification": float(params.geometricMagnification),
-        "numDetectors": int(params.numDetectors),
-        "pixelSize": float(params.pixelSize),
-        "angles": np.asarray(params.angles, dtype=float),
+    return {
+        "sinograms": sinograms,
+        "angles": np.asarray(p0.angles, dtype=float).reshape(-1)
+        * (np.pi / 180.0),
+        "distanceSourceDetector": sc("distanceSourceDetector"),
+        "distanceSourceOrigin": sc("distanceSourceOrigin"),
+        "distanceOriginDetector": (sc("distanceSourceDetector")
+                                   - sc("distanceSourceOrigin")),
+        "geometricMagnification": sc("geometricMagnification"),
+        "numDetectors": int(sc("numDetectors")),
+        "pixelSize": sc("pixelSize"),
+        "effectivePixelSize": sc("effectivePixelSize"),
     }
-    return sino, geom
 
 
-def gel_operator(geom, nx, angle_subsample=1):
-    """Native fan-beam (Cone2D-equivalent) matrix for a gel-phantom frame.
+def gel_operator(info, nx, angle_indices):
+    """Native fan-beam (Cone2D-equivalent) matrix for the gel geometry.
 
-    CIL's create_Cone2D(source_position=[0, -dso], detector_position=
-    [0, dod]) with detector spacing p maps onto our fan geometry directly;
-    distances are expressed in image-pixel units (the reconstruction pixel
-    size is dso * p_eff / dsd for an nx-wide grid).
-    """
-    dso = geom["distanceSourceOrigin"]
-    dsd = geom["distanceSourceDetector"]
-    p = geom["numDetectors"]
-    pix = geom["pixelSize"]
-    # express distances in units of reconstruction pixels
-    fov = p * pix / geom["geometricMagnification"]
-    pixel = fov / nx
-    angles = np.deg2rad(geom["angles"][::angle_subsample])
+    Distances are converted to reconstruction-voxel units with
+    v = (2 * pixelSize) / magnification (see module docstring)."""
+    pixel_corr = 2.0 * info["pixelSize"]
+    mag = info["geometricMagnification"]
+    v = pixel_corr / mag
     return fan_beam_matrix(
         nx,
-        angles=angles,
-        det_count=p,
-        det_width=pix / pixel,
-        source_origin=dso / pixel,
-        origin_det=(dsd - dso) / pixel,
+        angles=info["angles"][angle_indices],
+        det_count=info["numDetectors"],
+        det_width=pixel_corr / v,
+        source_origin=info["distanceSourceOrigin"] / v,
+        origin_det=info["distanceOriginDetector"] / v,
     )
 
 
-def generate_gelPhantom(nx=256, nt=17, angle_subsample=1,
+def generate_gelPhantom(nx=256, angle_step=20,
                         data_dir="./data/gelphantom_data"):
-    """Load all gel-phantom frames into block operators
-    (reference cil_io.py:156-224). Returns (A, b, AA, B, nx, nx, nt)."""
+    """Load the gel-phantom bundle into per-frame block operators
+    (reference cil_io.py:156-224). Returns (A, b, AA, B, nx, nx, nt).
+
+    All frames share one acquisition geometry (the reference builds a
+    single A_small and reuses it per frame, cil_io.py:208-218); angles are
+    kept at indices range(0, n_angles, angle_step)."""
     from scipy import sparse as sp
 
-    frames = []
-    for i in range(1, nt + 1):
-        path = f"{data_dir}/GelPhantomData_b4_frame{i}.mat"
-        _download(
-            "https://zenodo.org/record/3696817/files/GelPhantomData_b4.mat",
-            path,
-        )
-        frames.append(read_gel_frame(path))
-    AA, B = [], []
-    for sino, geom in frames:
-        A_t = gel_operator(geom, nx, angle_subsample)
-        AA.append(sp.csr_matrix(A_t))
-        B.append(sino[::angle_subsample].reshape(-1))
+    path = f"{data_dir}/GelPhantomData_b4.mat"
+    _download(
+        "https://zenodo.org/record/3696817/files/GelPhantomData_b4.mat",
+        path,
+    )
+    info = read_frames(path)
+    sinos = info["sinograms"]
+    nt, n_angles, _ = sinos.shape
+    keep = np.arange(0, n_angles, angle_step)
+    A_t = sp.csr_matrix(gel_operator(info, nx, keep))
+    AA = [A_t] * nt
+    B = [sinos[i][keep].reshape(-1) for i in range(nt)]
     A = sp.block_diag(AA, format="csr")
     b = np.concatenate(B)
     return A, b, AA, B, nx, nx, nt
