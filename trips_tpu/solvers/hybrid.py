@@ -73,8 +73,26 @@ def Hybrid_LSQR(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     _require_delta(regparam, dp_stop, delta)
 
     m = A.shape[0]
-    U, B, V = golub_kahan(A, b, n_iter, reorth=kwargs.get("reorth", False))
-    Bh = host(B)
+    reorth = kwargs.get("reorth", False)
+    # matvec economy (reference Hybrid_LSQR.py:85-93 factorizes
+    # incrementally and stops at the DP iteration): with dp_stop the
+    # factorization is extended in device chunks of gk_chunk steps, so a
+    # stop at iteration k costs 2*ceil(k/chunk)*chunk matvecs, not
+    # 2*n_iter. Without dp_stop every k is swept anyway, so the single
+    # fused factorization is optimal.
+    economize = regparam == "dp" and dp_stop
+    chunk = int(kwargs.get("gk_chunk", 8))
+    if economize:
+        from ..krylov import gk_init, golub_kahan_extend
+
+        U, V, alphas, betas = gk_init(A, b, n_iter)
+        k_done = 0
+        Bh = None
+    else:
+        U, B, V = golub_kahan(A, b, n_iter, reorth=reorth)
+        Bh = host(B)
+        k_done = n_iter
+    matvec_count = 2 * k_done
     beta = float(jnp.linalg.norm(b))
     # projected data: exact [beta, 0, ..., 0] by the GK relation
     x = None
@@ -82,13 +100,25 @@ def Hybrid_LSQR(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     x_history, lambda_history, residual_history = [], [], []
     its = 0
 
-    # precompute out-of-subspace norms per k for DP
     for ii in range(n_iter):
         its = ii
         if ii == 0:
             lam = 0.0
             continue
         k = ii + 1
+        while k > k_done:
+            nsteps = min(max(chunk, k - k_done), n_iter - k_done)
+            U, V, alphas, betas = golub_kahan_extend(
+                A, U, V, alphas, betas, k_done, nsteps, reorth=reorth)
+            k_done += nsteps
+            matvec_count += 2 * nsteps
+            Bh = None
+        if Bh is None:
+            a_h, b_h = host(alphas), host(betas)
+            Bh = np.zeros((n_iter + 1, n_iter))
+            ar = np.arange(n_iter)
+            Bh[ar, ar] = a_h
+            Bh[ar + 1, ar] = b_h
         Bk = Bh[: k + 1, :k]
         bhat_k = np.zeros(k + 1)
         bhat_k[0] = beta
@@ -116,6 +146,10 @@ def Hybrid_LSQR(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
 
     info = build_info(x_history, lambda_history, residual_history, its,
                       x_true=x_true, residual_key="relResidual")
+    # large A/A^T applies actually dispatched (fused loops execute the
+    # traced matvec once per factorization step; Python-side counters
+    # cannot observe that, so the solver accounts for it)
+    info["matvec_count"] = matvec_count
     return x[:, None], info
 
 
@@ -134,8 +168,23 @@ def Hybrid_GMRES(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     _require_delta(regparam, dp_stop, delta)
 
     m = A.shape[0]
-    Q, H = arnoldi(A, b, n_iter, reorth=kwargs.get("reorth", False))
-    Hh = host(H)
+    reorth = kwargs.get("reorth", False)
+    # same matvec economy as Hybrid LSQR: with dp_stop the Arnoldi
+    # factorization extends in chunks and stops with the solver (reference
+    # Hybrid_GMRES.py:58-66 factorizes incrementally and breaks)
+    economize = regparam == "dp" and dp_stop
+    chunk = int(kwargs.get("gk_chunk", 8))
+    if economize:
+        from ..krylov import arnoldi_extend, arnoldi_init
+
+        Q, H = arnoldi_init(A, b, n_iter)
+        k_done = 0
+        Hh = None
+    else:
+        Q, H = arnoldi(A, b, n_iter, reorth=reorth)
+        Hh = host(H)
+        k_done = n_iter
+    matvec_count = k_done
     beta = float(jnp.linalg.norm(b))
     x = None
     x_history, lambda_history, residual_history = [], [], []
@@ -144,6 +193,14 @@ def Hybrid_GMRES(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
     for ii in range(n_iter):
         its = ii
         k = ii + 1
+        while k > k_done:
+            nsteps = min(max(chunk, k - k_done), n_iter - k_done)
+            Q, H = arnoldi_extend(A, Q, H, k_done, nsteps, reorth=reorth)
+            k_done += nsteps
+            matvec_count += nsteps
+            Hh = None
+        if Hh is None:
+            Hh = host(H)
         Hk = Hh[: k + 1, :k]
         bhat_k = np.zeros(k + 1)
         bhat_k[0] = beta
@@ -177,4 +234,5 @@ def Hybrid_GMRES(A, b, n_iter=100, regparam="gcv", x_true=None, **kwargs):
 
     info = build_info(x_history, lambda_history, residual_history, its,
                       x_true=x_true, residual_key="relResidual")
+    info["matvec_count"] = matvec_count
     return x[:, None], info
