@@ -230,7 +230,29 @@ def main():
             if rate and rate > best["rate"]:
                 best.update(name=name, rate=float(rate))
 
-        # ---- path 0: shear-rotate fan projector (zero transfer; all dense
+        # ---- path 0: banded bf16 n_groups=32 — the fast-compiling
+        # near-champion (5.3 Gnnz/s, ~10s compile): runs FIRST so a strong
+        # number is banked within the first minute even under tunnel
+        # contention (r2 smoke: a 240s shear compile starved the budget).
+        bop32 = bop16 = None
+        if platform == "tpu":
+            from trips_tpu.sparse.banded import BandedProjector
+
+            bop32 = None
+            with phase("banded_bf16_g32_build", 60, report) as ok:
+                if ok:
+                    bop32 = BandedProjector.from_scipy_fan(
+                        A, nx, views, n_groups=32, dtype=jnp.bfloat16)
+                    report["paths"]["banded_bf16_g32_build"]["stored_mb"] = (
+                        round(bop32.stored_bytes / 1e6, 1))
+            if bop32 is not None:
+                info = report["paths"].setdefault("banded_bf16_g32", {})
+                with phase("banded_bf16_g32", 180, report) as ok:
+                    if ok:
+                        consider("banded_bf16_g32", measure_device(
+                            cgls_while, bop32, b, A.nnz, ITERS, info))
+
+        # ---- path 1: shear-rotate fan projector (zero transfer; all dense
         # VPU/MXU work against a device-built constant) -------------------
         sf = None
         with phase("shear_fan_while", 240, report) as ok:
@@ -245,23 +267,31 @@ def main():
                 consider("shear_fan_while", measure_device(
                     cgls_while, sf, b, A.nnz, ITERS, info))
 
-        # ---- path 1: banded fan projector, Pallas kernel (zero-transfer
-        # weights are tiny; expected champion) --------------------------
-        banded = None
+        # ---- path 2: banded bf16 n_groups=16 — the measured champion
+        # (6.7 Gnnz/s, r2 sweep) whose compile has hit 300s+ under tunnel
+        # contention, hence its own generous budget after the anchors ----
         if platform == "tpu":
-            with phase("banded_pallas_build", 120, report) as ok:
+            bop16 = None
+            with phase("banded_bf16_g16_build", 60, report) as ok:
                 if ok:
-                    from trips_tpu.sparse.banded import BandedProjector
-
-                    banded = BandedProjector.from_scipy_fan(A, nx, views)
-                    report["paths"]["banded_pallas_build"]["stored_mb"] = (
-                        round(banded.stored_bytes / 1e6, 1))
-            if banded is not None:
-                info = report["paths"].setdefault("banded_pallas", {})
-                with phase("banded_pallas", 240, report) as ok:
+                    bop16 = BandedProjector.from_scipy_fan(
+                        A, nx, views, n_groups=16, dtype=jnp.bfloat16)
+                    report["paths"]["banded_bf16_g16_build"]["stored_mb"] = (
+                        round(bop16.stored_bytes / 1e6, 1))
+            if bop16 is not None:
+                info = report["paths"].setdefault("banded_bf16_g16", {})
+                with phase("banded_bf16_g16", 420, report) as ok:
                     if ok:
-                        consider("banded_pallas", measure_device(
-                            cgls_while, banded, b, A.nnz, ITERS, info))
+                        consider("banded_bf16_g16", measure_device(
+                            cgls_while, bop16, b, A.nnz, ITERS, info))
+            # exact-f32 banded datapoint (bit-exact matrix apply)
+            with phase("banded_f32", 180, report) as ok:
+                if ok:
+                    bop = BandedProjector.from_scipy_fan(A, nx, views)
+                    info = report["paths"]["banded_f32"]
+                    info["stored_mb"] = round(bop.stored_bytes / 1e6, 1)
+                    consider("banded_f32", measure_device(
+                        cgls_while, bop, b, A.nnz, ITERS, info))
 
         # ---- path 2: on-the-fly fan projector (zero transfer; small
         # while-loop program compiles fast — the reliability anchor) ----
@@ -340,8 +370,8 @@ def main():
 
         # ---- scan-unrolled run for the current champion (the scan program
         # is faster per-iteration but compiles much larger) ----------------
-        champ_op = {"shear_fan_while": sf, "banded_pallas": banded}.get(
-            best["name"])
+        champ_op = {"shear_fan_while": sf, "banded_bf16_g32": bop32,
+                    "banded_bf16_g16": bop16}.get(best["name"])
         if champ_op is not None:
             cname = best["name"].replace("_while", "") + "_scan"
             info = report["paths"].setdefault(cname, {})
@@ -349,6 +379,22 @@ def main():
                 if ok:
                     consider(cname, measure_device(
                         cgls_fixed, champ_op, b, A.nnz, ITERS, info))
+
+        # ---- second chance: headline paths whose measurement timed out
+        # under tunnel contention retry with the leftover budget (the op
+        # object survives its phase; compiles are cached on retry) -------
+        for rname, rop in (("banded_bf16_g32", bop32),
+                           ("banded_bf16_g16", bop16),
+                           ("shear_fan_while", sf)):
+            if rop is None or report["paths"].get(rname, {}).get("gnnzps"):
+                continue
+            if remaining() < 90:
+                break
+            info = report["paths"].setdefault(rname + "_retry", {})
+            with phase(rname + "_retry", 300, report) as ok:
+                if ok:
+                    consider(rname + "_retry", measure_device(
+                        cgls_while, rop, b, A.nnz, ITERS, info))
 
         # ---- contention sentinel: re-run the host baseline --------------
         with phase("baseline_sentinel", 60, report) as ok:

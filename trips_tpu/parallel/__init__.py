@@ -19,3 +19,7 @@ __all__ = [
 from .sharded_bsr import ShardedBsrOperator, ShardedDynamicBsrOperator  # noqa: E402
 
 __all__ += ["ShardedBsrOperator", "ShardedDynamicBsrOperator"]
+
+from .sharded_banded import ShardedBandedProjector  # noqa: E402
+
+__all__ += ["ShardedBandedProjector"]

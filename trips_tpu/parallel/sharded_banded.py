@@ -1,0 +1,168 @@
+"""Angle-sharded banded projector: the multi-chip path on the *champion*
+single-chip format.
+
+The shear-packed banded projector (``sparse/banded.py`` + the Pallas
+kernel) is the measured single-chip champion for the exact fan matrix
+(6.7 Gnnz/s bf16, r2 sweep). Its apply is already angle-major — the Pallas
+grid iterates angles, every angle is independent in the forward and
+contributes additively in the adjoint — so the natural mesh partition is
+**angles across chips**:
+
+- forward: each chip runs the kernel over its local angle slab against the
+  replicated image and emits its sinogram rows — zero cross-chip
+  communication;
+- adjoint: each chip accumulates its local angles' image contribution,
+  then one ``psum`` over the mesh axis replicates the image (n*n floats —
+  tiny next to the weight stream).
+
+Both drive groups (row-driven / column-driven angles) are padded to a
+multiple of the mesh axis with zero-weight angles (zero contribution in
+both directions). ``P`` is stored mod-n so the same tables feed the Pallas
+kernel and the XLA fallback (CPU test meshes).
+
+Distribution is a new subsystem (reference is single-process NumPy,
+SURVEY.md §2.10); this is the scaling story for the format the TPU perf
+path actually recommends.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
+
+from ..core.linop import LinearOperator, register_op
+from ..sparse.banded import BandedProjector, apply_group_xla
+
+
+def _use_pallas():
+    return jax.devices()[0].platform == "tpu"
+
+
+class ShardedBandedProjector(LinearOperator):
+    """BandedProjector with both drive groups angle-sharded over a 1-D
+    mesh axis."""
+
+    def __init__(self, groups, shape, nx, p, n_groups, nnz, mesh, axis):
+        # groups: ((W, S, Pm, aidx, na_real, is_cols), ...) — arrays
+        # sharded on dim 0; aidx host tuple of global angle ids
+        (self.W_rows, self.shift_rows, self.P_rows,
+         self._angles_rows, self._na_rows, _) = groups[0]
+        (self.W_cols, self.shift_cols, self.P_cols,
+         self._angles_cols, self._na_cols, _) = groups[1]
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.det_count = p
+        self.n_groups = n_groups
+        self.nnz = nnz
+        self.mesh = mesh
+        self.axis = axis
+
+    @classmethod
+    def from_banded(cls, op: BandedProjector, mesh, axis: str = "rows"):
+        S_dev = mesh.shape[axis]
+        n = op.nx
+        sh = lambda a: jax.device_put(
+            jnp.asarray(a),
+            NamedSharding(mesh, PartitionSpec(
+                axis, *(None,) * (np.ndim(a) - 1))))
+
+        def prep(W, Sf, Pm, aidx):
+            W, Sf, Pm = map(np.asarray, (W, Sf, Pm))
+            na = W.shape[0]
+            na_pad = max(-(-na // S_dev) * S_dev, S_dev)
+            padn = na_pad - na
+            if W.size == 0:
+                W = np.zeros((0, 1, n, 128), W.dtype)
+                Sf = np.zeros((0, n), np.int32)
+                Pm = np.zeros((0, op.n_groups, 128), np.int32)
+            W = np.pad(W, ((0, padn),) + ((0, 0),) * (W.ndim - 1))
+            Sf = np.pad(Sf, ((0, padn), (0, 0)))
+            Pm = np.mod(np.pad(Pm, ((0, padn), (0, 0), (0, 0))), n)
+            return (sh(W), sh(Sf), sh(Pm), tuple(aidx), na, None)
+
+        g_rows = prep(op.W_rows, op.shift_rows, op.P_rows, op._angles_rows)
+        g_cols = prep(op.W_cols, op.shift_cols, op.P_cols, op._angles_cols)
+        return cls((g_rows[:5] + (False,), g_cols[:5] + (True,)),
+                   op.shape, n, op.det_count, op.n_groups, op.nnz,
+                   mesh, axis)
+
+    @property
+    def stored_bytes(self):
+        return (self.W_rows.size * self.W_rows.dtype.itemsize
+                + self.W_cols.size * self.W_cols.dtype.itemsize)
+
+    def _groups(self):
+        return (
+            (self.W_rows, self.shift_rows, self.P_rows,
+             self._angles_rows, self._na_rows, False),
+            (self.W_cols, self.shift_cols, self.P_cols,
+             self._angles_cols, self._na_cols, True),
+        )
+
+    def matvec(self, x):
+        n, p = self.nx, self.det_count
+        na_tot = self.shape[0] // p
+        X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
+        y = jnp.zeros((na_tot, p), jnp.float32)
+        ax = self.axis
+        ng = self.n_groups
+
+        def local_fwd(W, Sf, Pm, X):
+            if _use_pallas():
+                from ..sparse.pallas_banded_kernel import _fwd_call
+
+                return _fwd_call(X, W, Sf, Pm, ng)
+            return apply_group_xla(n, ng, X, W, Sf, Pm, False, wrap=True)
+
+        f = jax.shard_map(
+            local_fwd, mesh=self.mesh,
+            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
+                      PartitionSpec(ax), PartitionSpec()),
+            out_specs=PartitionSpec(ax))
+        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
+            if na_real == 0:
+                continue
+            yg = f(W, Sf, Pm, X0.T if is_cols else X0)
+            y = y.at[jnp.asarray(aidx)].set(yg[:na_real, :p])
+        return y.reshape(-1).astype(x.dtype)
+
+    def rmatvec(self, yv):
+        n, p = self.nx, self.det_count
+        Y = jnp.reshape(yv, (-1, p)).astype(jnp.float32)
+        img = jnp.zeros((n, n), jnp.float32)
+        ax = self.axis
+        ng = self.n_groups
+
+        def local_adj(W, Sf, Pm, Yg):
+            if _use_pallas():
+                from ..sparse.pallas_banded_kernel import _adj_call
+
+                c = _adj_call(Yg, W, Sf, Pm, ng)
+            else:
+                c = apply_group_xla(n, ng, None, W, Sf, Pm, True,
+                                    y_rows=Yg, wrap=True)
+            return jax.lax.psum(c, ax)
+
+        f = jax.shard_map(
+            local_adj, mesh=self.mesh,
+            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
+                      PartitionSpec(ax), PartitionSpec(ax)),
+            out_specs=PartitionSpec())
+        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
+            if na_real == 0:
+                continue
+            na_pad, p_pad = W.shape[0], W.shape[3]
+            Yg = jnp.pad(Y[jnp.asarray(aidx)],
+                         ((0, na_pad - na_real), (0, p_pad - p)))
+            c = f(W, Sf, Pm, Yg)
+            img = img + (c.T if is_cols else c)
+        return img.reshape(-1).astype(yv.dtype)
+
+
+register_op(
+    ShardedBandedProjector,
+    ["W_rows", "shift_rows", "P_rows", "W_cols", "shift_cols", "P_cols"],
+    ["_angles_rows", "_na_rows", "_angles_cols", "_na_cols", "shape", "nx",
+     "det_count", "n_groups", "nnz", "mesh", "axis"],
+)

@@ -42,6 +42,32 @@ from ..core.linop import LinearOperator, register_op
 from ..sparse.bsr import _block_precision, _build_bsr
 
 
+def _count_blocks(A, br, bc):
+    """Nonzero-block count without materializing the blocks (cheap)."""
+    coo = A.tocoo()
+    nbk = -(-A.shape[1] // bc)
+    bid = (coo.row // br).astype(np.int64) * nbk + coo.col // bc
+    return len(np.unique(bid))
+
+
+def _check_stored_budget(n_blocks, br, bc, itemsize, nnz, max_stored_gb,
+                         what):
+    """Stored-density guard (r2 STEMPO finding: (8,128) blocks at 560-wide
+    parallel geometry pack at ~2% density -> 1.1 GB/frame, and the two
+    sharded partitions OOM-killed a 125 GB host at 36 frames). Fail fast
+    with format guidance instead."""
+    stored = 2 * n_blocks * br * bc * itemsize  # forward + transpose
+    if stored > max_stored_gb * 1e9:
+        dens = nnz / max(n_blocks * br * bc, 1)
+        raise ValueError(
+            f"{what}: BSR ({br},{bc}) would store {stored/1e9:.1f} GB "
+            f"across both partitions at {100*dens:.2f}% density "
+            f"(limit {max_stored_gb} GB). This matrix is too diffuse for "
+            f"block storage — use the banded pack "
+            f"(sparse.BandedProjector) or ELL "
+            f"(parallel.ShardedDynamicOperator), or raise max_stored_gb.")
+
+
 def _contract(blocks, gathered, spec, acc):
     return jnp.einsum(spec, blocks, gathered.astype(blocks.dtype),
                       preferred_element_type=acc,
@@ -91,11 +117,14 @@ class ShardedBsrOperator(LinearOperator):
 
     @classmethod
     def from_scipy(cls, A, mesh, axis="rows", block_shape=(32, 128),
-                   block_dtype=None):
+                   block_dtype=None, max_stored_gb=16.0):
         from scipy import sparse as sp
 
         A = sp.csr_matrix(A).astype(np.float32)
         br, bc = block_shape
+        itemsize = jnp.dtype(block_dtype or jnp.float32).itemsize
+        _check_stored_budget(_count_blocks(A, br, bc), br, bc, itemsize,
+                             A.nnz, max_stored_gb, "ShardedBsrOperator")
         S = mesh.shape[axis]
         m_pad = round_up(A.shape[0], S * br)
         n_pad = round_up(A.shape[1], S * bc)
@@ -202,11 +231,17 @@ class ShardedDynamicBsrOperator(LinearOperator):
 
     @classmethod
     def from_blocks(cls, frames, mesh, block_shape=(8, 128),
-                    block_dtype=None):
+                    block_dtype=None, max_stored_gb=16.0):
         """frames: list of same-shape scipy per-frame matrices."""
         from scipy import sparse as sp
 
         br, bc = block_shape
+        itemsize = jnp.dtype(block_dtype or jnp.float32).itemsize
+        nb_total = sum(_count_blocks(sp.csr_matrix(F), br, bc)
+                       for F in frames)
+        _check_stored_budget(nb_total, br, bc, itemsize,
+                             sum(int(sp.csr_matrix(F).nnz) for F in frames),
+                             max_stored_gb, "ShardedDynamicBsrOperator")
         t_sh, r_sh = mesh.shape["time"], mesh.shape["rows"]
         nt = len(frames)
         if nt % t_sh:

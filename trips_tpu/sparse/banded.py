@@ -211,36 +211,8 @@ class BandedProjector(LinearOperator):
 
     # ---- XLA applies (oracle / CPU fallback) ----------------------------
     def _apply_group_xla(self, X, W, S, P, transpose, y_rows=None):
-        """All angles of one drive group. X: (n, n) image (drive-major).
-
-        forward: returns (na_g, p_pad); adjoint: consumes y_rows (na_g, p)
-        and returns the image contribution."""
-        n = self.nx
-        gsize = -(-n // self.n_groups)
-        T, p_pad = W.shape[1], W.shape[3]
-        acc = jnp.promote_types(X.dtype if not transpose else y_rows.dtype,
-                                jnp.float32)
-        # column index per (a, t, i, d)
-        g_of = jnp.arange(n) // gsize
-        cidx = (S[:, None, :, None]
-                + P[:, g_of][:, None, :, :]
-                + jnp.arange(T)[None, :, None, None])  # (na_g, T, n, p_pad)
-        cclip = jnp.clip(cidx, 0, n - 1)
-        valid = (cidx >= 0) & (cidx < n)
-        Wv = jnp.where(valid, W.astype(acc), 0)
-        if not transpose:
-            gath = jnp.take_along_axis(
-                X.astype(acc)[None, None, :, :],
-                cclip, axis=3)
-            return jnp.einsum("atid,atid->ad", Wv, gath,
-                              precision=jax.lax.Precision.HIGHEST)
-        ypad = jnp.pad(y_rows.astype(acc),
-                       ((0, 0), (0, p_pad - y_rows.shape[1])))
-        contrib = Wv * ypad[:, None, None, :]  # (na_g, T, n, p_pad)
-        flat_tgt = (jnp.arange(n)[None, None, :, None] * n
-                    + cclip).reshape(-1)
-        img = jnp.zeros(n * n, acc).at[flat_tgt].add(contrib.reshape(-1))
-        return img.reshape(n, n)
+        return apply_group_xla(self.nx, self.n_groups, X, W, S, P,
+                               transpose, y_rows=y_rows)
 
     def matvec(self, x):
         from .pallas_banded import banded_apply
@@ -289,3 +261,47 @@ register_op(
     ["_angles_rows", "_angles_cols", "shape", "nx", "det_count", "n_groups",
      "nnz"],
 )
+
+
+def apply_group_xla(nx, n_groups, X, W, S, P, transpose, y_rows=None,
+                    wrap=False):
+    """All angles of one drive group (XLA oracle / CPU fallback path).
+
+    X: (n, n) image (drive-major). forward: returns (na_g, p_pad);
+    adjoint: consumes y_rows (na_g, p) and returns the image contribution.
+
+    wrap=True consumes mod-n P tables (the Pallas kernel's convention):
+    indices wrap cyclically and NO validity mask is applied — exact,
+    because packed weights are zero wherever the true column is out of
+    range (see _pack_angle). wrap=False consumes raw (possibly negative)
+    P with clipping + validity masking."""
+    n = nx
+    gsize = -(-n // n_groups)
+    T, p_pad = W.shape[1], W.shape[3]
+    acc = jnp.promote_types(X.dtype if not transpose else y_rows.dtype,
+                            jnp.float32)
+    # column index per (a, t, i, d)
+    g_of = jnp.arange(n) // gsize
+    cidx = (S[:, None, :, None]
+            + P[:, g_of][:, None, :, :]
+            + jnp.arange(T)[None, :, None, None])  # (na_g, T, n, p_pad)
+    if wrap:
+        cclip = jnp.mod(cidx, n)
+        Wv = W.astype(acc)
+    else:
+        cclip = jnp.clip(cidx, 0, n - 1)
+        valid = (cidx >= 0) & (cidx < n)
+        Wv = jnp.where(valid, W.astype(acc), 0)
+    if not transpose:
+        gath = jnp.take_along_axis(
+            X.astype(acc)[None, None, :, :],
+            cclip, axis=3)
+        return jnp.einsum("atid,atid->ad", Wv, gath,
+                          precision=jax.lax.Precision.HIGHEST)
+    ypad = jnp.pad(y_rows.astype(acc),
+                   ((0, 0), (0, p_pad - y_rows.shape[1])))
+    contrib = Wv * ypad[:, None, None, :]  # (na_g, T, n, p_pad)
+    flat_tgt = (jnp.arange(n)[None, None, :, None] * n
+                + cclip).reshape(-1)
+    img = jnp.zeros(n * n, acc).at[flat_tgt].add(contrib.reshape(-1))
+    return img.reshape(n, n)
