@@ -283,3 +283,19 @@ def test_fused_f32_robustness():
                                  delta=float(delta))
     assert np.isfinite(np.asarray(lams)).all()
     assert np.isfinite(np.asarray(xh)).all()
+
+
+def test_fused_hybrid_gmres_matches_host():
+    from trips_tpu.solvers import Hybrid_GMRES
+    from trips_tpu.solvers.fused import fused_hybrid_gmres
+
+    op, A, x_true, b, delta = problem_with_delta()
+    for mode, kw in (("gcv", {}), ("dp", {"delta": delta}),
+                     ("l_curve", {})):
+        x_host, info = Hybrid_GMRES(op, b, n_iter=10, regparam=mode, **kw)
+        x_dev, lams = fused_hybrid_gmres(op, jnp.asarray(b), n_iter=10,
+                                         regparam_mode=mode,
+                                         delta=kw.get("delta", 0.0))
+        np.testing.assert_allclose(
+            np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=2e-4,
+            err_msg=mode)

@@ -270,3 +270,22 @@ def test_sharded_banded_cgls_recon(rng, mesh8):
     err_1 = np.linalg.norm(np.asarray(x_1) - xt) / np.linalg.norm(xt)
     assert abs(err_s - err_1) < 0.01, (err_s, err_1)
     assert err_s < 0.5, err_s  # semiconverged at 40 iters, not diverged
+
+
+def test_batched_frame_solve_dp(rng):
+    """Batched per-frame solves with the on-device DP rule (all four
+    regparam modes vmap over frames)."""
+    from trips_tpu.operators import FirstDerivative2D
+    from trips_tpu.parallel.batched import batched_frame_solve
+    from trips_tpu.problems import generate_synthetic_dynamic
+
+    A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
+        nx=16, nt=4, views=10, noise_level=0.01
+    )
+    L = FirstDerivative2D(nx, ny)
+    X = batched_frame_solve(AA, B, L, solver="gks", projection_dim=3,
+                            n_iter=6, regparam_mode="dp",
+                            delta=float(delta) / nt)
+    X = np.asarray(X)
+    assert X.shape == (nt, nx * ny)
+    assert np.isfinite(X).all()

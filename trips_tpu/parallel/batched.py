@@ -70,7 +70,9 @@ def batched_frame_solve(blocks, B, L, solver="mmgks", **kw):
     static = dict(
         projection_dim=kw.pop("projection_dim", 3),
         n_iter=kw.pop("n_iter", 10),
-        use_gcv=kw.pop("use_gcv", True),
+        use_gcv=kw.pop("use_gcv", None),
+        # all four on-device regparam modes vmap over frames
+        regparam_mode=kw.pop("regparam_mode", "gcv"),
     )
 
     def one(v, c, vt, ct, b):

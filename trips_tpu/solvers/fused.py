@@ -17,8 +17,9 @@ run the whole iteration in a ``lax.fori_loop`` with *masked* linear algebra:
   number, which these ill-posed panels cannot afford).
 
 No host synchronization, no recompilation as the basis grows — one XLA
-program per (shape, n_iter) pair. Parameter selection: on-device GCV
-(regparam.device) or a fixed scalar.
+program per (shape, n_iter) pair. Parameter selection: all four modes
+('gcv' | 'dp' | 'l_curve' | 'scalar') run on device in filtered-SVD
+coordinates (cancellation-free in f32 — see _filtered_pencil).
 """
 from __future__ import annotations
 
@@ -80,11 +81,18 @@ def _filtered_pencil(R_A, R_L, bproj, active):
     return S**2, bhat, rest2
 
 
-def _gcv_lambda_masked(R_A, R_L, bproj, t_term, active_mask, out_norm2=0.0):
+def _gcv_lambda_masked(R_A, R_L, bproj, t_term, active_mask, out_norm2=0.0,
+                       projected_only=False):
     """Masked GCV in filtered SVD coordinates; t_term = active count
     (standard) or full row count (modified hybrid variant, reference
     gcv.py:69-72). Identical in exact arithmetic to the reference's
-    solve-based num/trace (gcv.py:25-78)."""
+    solve-based num/trace (gcv.py:25-78).
+
+    projected_only=True restricts the numerator to the projected system's
+    live filtered directions — the reference's *standard* variant ignores
+    the out-of-range residual even when given one (gcv.py:46-47 adds it
+    only under variant='modified'), which is what Hybrid GMRES consumes.
+    """
     sv2, bhat, rest2 = _filtered_pencil(R_A, R_L, bproj, active_mask)
     bhat2 = bhat**2
     k_active = jnp.sum(active_mask.astype(sv2.dtype))
@@ -93,7 +101,10 @@ def _gcv_lambda_masked(R_A, R_L, bproj, t_term, active_mask, out_norm2=0.0):
 
     def gcv(lam):
         d = sv2 + lam
-        num = lam**2 * jnp.sum(bhat2 / d**2) + rest2 + out_norm2
+        if projected_only:
+            num = lam**2 * jnp.sum(jnp.where(live, bhat2 / d**2, 0.0))
+        else:
+            num = lam**2 * jnp.sum(bhat2 / d**2) + rest2 + out_norm2
         # t_term - trace = (t_term - k) + sum_live(1 - sv2/d)
         #                = (t_term - k) + sum_live(lam/d):
         # cancellation-free, where the direct subtraction k - (k - eps)
@@ -394,4 +405,69 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=None,
     x0 = jnp.zeros((n,), dtype)
     lams0 = jnp.zeros((n_iter,), dtype)
     x, lams = jax.lax.fori_loop(1, n_iter, body, (x0, lams0))
+    return x, lams
+
+
+@partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth",
+                                   "regparam_mode"))
+def fused_hybrid_gmres(A, b, n_iter=50, regparam=1.0, use_gcv=None,
+                       reorth=False, regparam_mode="gcv", delta=0.0,
+                       eta=1.01):
+    """All-on-device Hybrid GMRES: fused Arnoldi factorization of a square
+    A, then a fori_loop sweep over k with masked projected (k+1, k)
+    Hessenberg systems and on-device lam selection (standard GCV / DP with
+    the computed-basis projection / L-curve / scalar — reference
+    Hybrid_GMRES.py:23-87; lam = 0 at the first iteration).
+    Returns (x, lambda_history).
+    """
+    from ..krylov import arnoldi
+
+    mode = _resolve_mode(regparam_mode, use_gcv)
+    b = jnp.reshape(b, (-1,))
+    n = A.shape[1]
+    K = n_iter
+    dtype = b.dtype
+
+    Q, H = arnoldi(A, b, n_iter, reorth=reorth)
+    beta = jnp.linalg.norm(b)
+    bhat = jnp.zeros((K + 1,), dtype).at[0].set(beta)
+    Qb = Q.T @ b if mode == "dp" else bhat
+    row_idx = jnp.arange(K + 1)
+    col_idx = jnp.arange(K)
+
+    def body(ii, carry):
+        x, lams = carry
+        k = ii + 1
+        col_active = col_idx < k
+        row_active = row_idx < k + 1
+        Hm = H * col_active[None, :] * row_active[:, None]
+        bh = Qb * row_active
+        R_L = jnp.eye(K, dtype=dtype)
+        if mode == "gcv":
+            bh_g = bhat * row_active
+            lam = _gcv_lambda_masked(
+                Hm, R_L * col_active[None, :], bh_g,
+                jnp.sum(col_active.astype(dtype)), col_active,
+                projected_only=True).astype(dtype)
+        elif mode == "dp":
+            lam = _dp_lambda_masked_rect(Hm, bh, delta, eta, k).astype(
+                dtype)
+        elif mode == "l_curve":
+            bh_l = bhat * row_active
+            lam = _lcurve_lambda_masked(
+                Hm, R_L * col_active[None, :], bh_l, col_active).astype(
+                dtype)
+        else:
+            lam = jnp.asarray(regparam, dtype)
+        lam = jnp.where(ii == 0, jnp.asarray(0.0, dtype), lam)
+        bsolve = (Qb if mode == "dp" else bhat) * row_active
+        y = _masked_tikhonov_solve(Hm, R_L * col_active[None, :], bsolve,
+                                   lam, col_active)
+        x = Q[:, :K] @ y
+        lams = lams.at[ii].set(lam)
+        return (x, lams)
+
+    x0 = jnp.zeros((n,), dtype)
+    lams0 = jnp.zeros((n_iter,), dtype)
+    x, lams = jax.lax.fori_loop(0, n_iter, body, (x0, lams0))
     return x, lams

@@ -49,7 +49,13 @@ def load_image_mat(name, data_dir="./data/image_data"):
 
 
 def interp2linear(z, xi, yi, extrapval=np.nan):
-    """MATLAB interp2(..., 'linear') equivalent (utils.py:153-198)."""
+    """MATLAB interp2(..., 'linear') equivalent.
+
+    Adapted from the public pyinterp2 implementation
+    (github.com/serge-m/pyinterp2) — the same third-party origin the
+    reference vendors at ``trips/utilities/utils.py:153-198``; bit-exact
+    behavior is required for oracle matching of every image-resampling
+    test problem."""
     x = xi.copy().astype(float)
     y = yi.copy().astype(float)
     nrows, ncols = z.shape
