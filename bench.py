@@ -6,24 +6,48 @@ Config: the reference's large-scale tomography demo
 iterations * 2 * nnz / wall_seconds, measured over a fused device-side CGLS
 loop (one program per run).
 
-Tunnel-resilient design (round-1 postmortem: both device paths died in a
-single 360 s SIGALRM with nothing recorded):
+Tunnel-resilient design (round-2 postmortem: a full-dark axon outage ate all
+three headline phase budgets sequentially — 781 s of dead compiles — and the
+artifact recorded value 0.0 while the cheap reliability anchor never ran):
 
-- Paths are ordered cheapest-first: the zero-transfer on-the-fly projector
-  runs before any stored-matrix path, and each path first compiles the
-  *small* ``while_loop`` program (one step body) before attempting the
-  faster scan-unrolled program (a ~25x larger XLA program whose compile can
-  outlast a contended tunnel).
+- **Tunnel probe**: before every device phase, a 1-element jitted op runs
+  under its own 25 s alarm. On failure the bench sleeps and re-probes in a
+  loop that consumes *idle* time (bounded only by the global deadline), not
+  phase budgets — a dead tunnel no longer burns phase allocations.
+- **Cheapest-compile-first banking**: the on-the-fly projector (~6 s
+  compile, exact-matrix class) runs before anything else, so ``value`` and
+  ``value_exact_matrix`` are nonzero within ~90 s of the tunnel being up.
+  Headliners (banded bf16, shear) run only after a number is banked.
 - Every phase gets its own SIGALRM budget carved out of a global deadline;
-  a timeout skips that phase only.
+  a timeout skips that phase only, and headline paths that timed out are
+  retried with leftover budget (compile caches survive the phase).
 - The final JSON line is emitted from a ``finally`` block with the best
-  result so far — a late failure can no longer zero the artifact. Exit code
-  is 0 whenever at least one device path produced a rate.
-- Methodology hardening (VERDICT r1 item 8): median-of-3 on both the scipy
-  baseline and every device path, plus a post-run baseline sentinel re-run
-  recorded in the JSON so contention-inflated ``vs_baseline`` readings are
-  self-diagnosing. Per-path diagnostics (compile/transfer/run seconds, all
-  run rates) are persisted under ``paths``.
+  result so far; exit code 0 whenever at least one device path produced a
+  rate.
+- Median-of-3 on the scipy baseline and every device path; a post-run
+  baseline sentinel re-run makes contention-inflated ``vs_baseline``
+  readings self-diagnosing.
+
+Metric classes (VERDICT r2 item 3): each path carries
+``matrix_class`` ∈ {"exact", "quantized", "surrogate"} and a boolean
+``exact_matrix``:
+
+- ``exact``    — applies the stored Siddon fan-beam matrix in f32 (banded
+                 f32 repack is bit-exact; the on-the-fly generator matches
+                 it to ~1e-6 f32 roundoff).
+- ``quantized``— same matrix, values stored bf16/int8 (<1%-of-norm recon
+                 deviation, pinned by tests).
+- ``surrogate``— the ShearFanProjector's own discretization of the same fan
+                 geometry (recon-parity-tested, not matrix-equal); its rate
+                 uses the Siddon matrix's nnz as "effective nnz/s".
+
+The summary line reports ``value`` (best overall) **and**
+``value_exact_matrix`` (best exact-class path).
+
+Roofline fields (VERDICT r2 item 2): stored-matrix paths record
+``streamed_gb`` (bytes of operator stream over the measured run: 2 applies
+per iteration), ``gbps``, and ``pct_peak_bw`` against the v5e HBM peak
+(819 GB/s).
 
 Baseline: scipy.sparse CSR CGLS on the host CPU — the reference's compute
 substrate (``trips/solvers/CGLS.py:57-83`` recurrence).
@@ -58,6 +82,7 @@ if FAST:
     BUDGET_S = min(BUDGET_S, 300.0)
     ITERS = 20
 EMIT_RESERVE_S = 15.0  # time kept back for the final emit
+PEAK_HBM_GBPS = 819.0  # TPU v5e HBM peak
 
 
 def log(*a):
@@ -70,6 +95,57 @@ def remaining():
 
 class PhaseTimeout(Exception):
     pass
+
+
+@contextlib.contextmanager
+def alarm(seconds):
+    def handler(signum, frame):
+        raise PhaseTimeout(f"alarm {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+_PROBE = {"fn": None}
+
+
+def tunnel_ok(timeout_s=25):
+    """One 1-element jitted round-trip under its own alarm."""
+    try:
+        with alarm(timeout_s):
+            import jax
+            import jax.numpy as jnp
+
+            if _PROBE["fn"] is None:
+                _PROBE["fn"] = jax.jit(lambda x: (x + 1.0).sum())
+            return abs(float(_PROBE["fn"](jnp.ones(8, jnp.float32))) - 16.0) < 1e-3
+    except Exception as e:  # noqa: BLE001 — probe failure means tunnel down
+        log(f"[probe] {type(e).__name__}: {e}")
+        return False
+
+
+def await_tunnel(report, name):
+    """Probe the tunnel; on failure sleep+re-probe on *idle* time until it
+    returns or only the emit reserve remains. Returns tunnel-up bool."""
+    retries = 0
+    while remaining() > EMIT_RESERVE_S + 40:
+        if tunnel_ok():
+            if retries:
+                log(f"[probe:{name}] tunnel back after {retries} retries")
+            report["probe_retries"] = report.get("probe_retries", 0) + retries
+            return True
+        retries += 1
+        if retries == 1:
+            log(f"[probe:{name}] tunnel dark — waiting on idle time")
+        time.sleep(min(20.0, max(1.0, remaining() - EMIT_RESERVE_S - 30)))
+    report["probe_retries"] = report.get("probe_retries", 0) + retries
+    log(f"[probe:{name}] tunnel never returned (budget exhausted)")
+    return False
 
 
 @contextlib.contextmanager
@@ -146,21 +222,56 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3):
         t0 = time.perf_counter()
         x, _ = fn(op, b, x0, iters)
         _ = float(jnp.linalg.norm(x))
-        rates.append(iters * 2 * nnz / (time.perf_counter() - t0))
+        wall = time.perf_counter() - t0
+        rates.append(iters * 2 * nnz / wall)
         # record incrementally so a mid-loop timeout still counts
         info["runs_gnnzps"].append(round(rates[-1] / 1e9, 3))
         info["gnnzps"] = round(float(np.median(rates)) / 1e9, 3)
+        stored = info.get("stored_mb")
+        if stored:  # roofline: operator streamed twice per iteration
+            streamed = 2 * iters * stored * 1e6
+            info["streamed_gb"] = round(streamed / 1e9, 2)
+            best_wall = iters * 2 * nnz / max(rates)
+            info["gbps"] = round(streamed / best_wall / 1e9, 1)
+            info["pct_peak_bw"] = round(100 * info["gbps"] / PEAK_HBM_GBPS, 1)
         if remaining() < EMIT_RESERVE_S + 5 and rates:
             break
     rate = float(np.median(rates))
     log(f"    {iters} iters -> {info['gnnzps']} Gnnz/s "
-        f"(median of {len(rates)}: {info['runs_gnnzps']})")
+        f"(median of {len(rates)}: {info['runs_gnnzps']})"
+        + (f" | {info.get('gbps')} GB/s = {info.get('pct_peak_bw')}% peak"
+           if info.get("gbps") else ""))
     return rate
 
 
+# matrix_class per path family (see module docstring)
+CLASSES = {
+    "onthefly_fan_while": "exact",
+    "banded_f32": "exact",
+    "bsr_f32_while": "exact",
+    "banded_bf16_g32": "quantized",
+    "banded_bf16_g16": "quantized",
+    "bsr_bf16_while": "quantized",
+    "bsr_bf16_scan": "quantized",
+    "bsr_int8_scan": "quantized",
+    "shear_fan_while": "surrogate",
+    "ell_cpu": "exact",
+}
+
+
+def classify(name):
+    base = name.replace("_retry", "").replace("_scan", "").replace(
+        "_while", "")
+    for key, cls in CLASSES.items():
+        if key.replace("_while", "").replace("_scan", "") == base:
+            return cls
+    return CLASSES.get(name, "exact")
+
+
 def main():
-    report = {"paths": {}, "iters": ITERS}
+    report = {"paths": {}, "iters": ITERS, "peak_hbm_gbps": PEAK_HBM_GBPS}
     best = {"name": None, "rate": 0.0}
+    best_exact = {"name": None, "rate": 0.0}
     emitted = False
 
     # SIGTERM (external timeout) must still run the finally-emit
@@ -175,8 +286,14 @@ def main():
         # (mid-measurement timeout)
         for name, info in report["paths"].items():
             if isinstance(info, dict) and info.get("gnnzps"):
-                if info["gnnzps"] * 1e9 > best["rate"]:
-                    best.update(name=name, rate=info["gnnzps"] * 1e9)
+                info.setdefault("matrix_class", classify(name))
+                info.setdefault("exact_matrix",
+                                info["matrix_class"] == "exact")
+                r = info["gnnzps"] * 1e9
+                if r > best["rate"]:
+                    best.update(name=name, rate=r)
+                if info["exact_matrix"] and r > best_exact["rate"]:
+                    best_exact.update(name=name, rate=r)
         base = report.get("baseline_gnnzps")
         out = {
             "metric": "spmv_nnz_per_s_cgls_tomo256x60",
@@ -184,6 +301,8 @@ def main():
             "unit": "nnz/s",
             "vs_baseline": (round(best["rate"] / (base * 1e9), 3)
                             if base and best["rate"] else None),
+            "value_exact_matrix": round(best_exact["rate"], 1),
+            "best_path_exact_matrix": best_exact["name"],
         }
         out.update(report)
         out["best_path"] = best["name"]
@@ -227,87 +346,96 @@ def main():
             return cgls(op, bb, x0, iters, 0.0)
 
         def consider(name, rate):
+            info = report["paths"].get(name, {})
+            info["matrix_class"] = classify(name)
+            info["exact_matrix"] = info["matrix_class"] == "exact"
             if rate and rate > best["rate"]:
                 best.update(name=name, rate=float(rate))
+            if rate and info["exact_matrix"] and rate > best_exact["rate"]:
+                best_exact.update(name=name, rate=float(rate))
 
-        # ---- path 0: banded bf16 n_groups=32 — the fast-compiling
-        # near-champion (5.3 Gnnz/s, ~10s compile): runs FIRST so a strong
-        # number is banked within the first minute even under tunnel
-        # contention (r2 smoke: a 240s shear compile starved the budget).
-        bop32 = bop16 = None
-        if platform == "tpu":
+        def run_path(name, op, budget, solver=None, nnz_eff=None):
+            """probe-await, then measure one path under its own budget."""
+            if op is None:
+                return
+            if report["paths"].get(name, {}).get("gnnzps"):
+                return  # already measured (e.g. banked earlier)
+            if not await_tunnel(report, name):
+                report["paths"].setdefault(name, {})["status"] = \
+                    "skipped_tunnel_dark"
+                return
+            info = report["paths"].setdefault(name, {})
+            if getattr(op, "stored_bytes", 0):
+                info["stored_mb"] = round(op.stored_bytes / 1e6, 1)
+            with phase(name, budget, report) as ok:
+                if ok:
+                    consider(name, measure_device(
+                        solver or cgls_while, op, b, nnz_eff or A.nnz,
+                        ITERS, info))
+
+        if platform != "tpu":
+            op = None
+            if await_tunnel(report, "ell_cpu"):
+                from trips_tpu.sparse import EllOperator
+
+                op = EllOperator.from_scipy(A)
+            run_path("ell_cpu", op, 120)
+            run_tpu_paths = False
+        else:
+            run_tpu_paths = True
+
+        otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = None
+
+        # ---- path 0: on-the-fly fan projector — cheapest compile (~6 s),
+        # exact-matrix class, zero transfer. Runs FIRST so both headline
+        # values are nonzero within ~90 s of tunnel availability. --------
+        if run_tpu_paths:
+            from trips_tpu.operators import OnTheFlyFanProjector
+
+            otf = OnTheFlyFanProjector(nx, views=views, dtype=jnp.float32)
+            run_path("onthefly_fan_while", otf, 120)
+
+        # ---- path 1: banded bf16 n_groups=32 — fast-compiling
+        # near-champion (5.3 Gnnz/s, ~10 s compile) ----------------------
+        if run_tpu_paths:
             from trips_tpu.sparse.banded import BandedProjector
 
-            bop32 = None
             with phase("banded_bf16_g32_build", 60, report) as ok:
                 if ok:
                     bop32 = BandedProjector.from_scipy_fan(
                         A, nx, views, n_groups=32, dtype=jnp.bfloat16)
-                    report["paths"]["banded_bf16_g32_build"]["stored_mb"] = (
-                        round(bop32.stored_bytes / 1e6, 1))
-            if bop32 is not None:
-                info = report["paths"].setdefault("banded_bf16_g32", {})
-                with phase("banded_bf16_g32", 180, report) as ok:
-                    if ok:
-                        consider("banded_bf16_g32", measure_device(
-                            cgls_while, bop32, b, A.nnz, ITERS, info))
+            run_path("banded_bf16_g32", bop32, 150)
 
-        # ---- path 1: shear-rotate fan projector (zero transfer; all dense
-        # VPU/MXU work against a device-built constant) -------------------
-        sf = None
-        with phase("shear_fan_while", 240, report) as ok:
-            if ok:
-                from trips_tpu.operators import ShearFanProjector
+            # ---- path 2: banded f32 — the exact-stored-matrix champion
+            # (bit-exact Siddon repack; 2.75 Gnnz/s r2) ------------------
+            with phase("banded_f32_build", 60, report) as ok:
+                if ok:
+                    bopf32 = BandedProjector.from_scipy_fan(A, nx, views)
+            run_path("banded_f32", bopf32, 150)
 
-                sf = ShearFanProjector(
-                    nx, views=views, dtype=jnp.float32,
-                    g_dtype=jnp.bfloat16 if platform == "tpu"
-                    else jnp.float32)
-                info = report["paths"]["shear_fan_while"]
-                consider("shear_fan_while", measure_device(
-                    cgls_while, sf, b, A.nnz, ITERS, info))
-
-        # ---- path 2: banded bf16 n_groups=16 — the measured champion
-        # (6.7 Gnnz/s, r2 sweep) whose compile has hit 300s+ under tunnel
-        # contention, hence its own generous budget after the anchors ----
-        if platform == "tpu":
-            bop16 = None
+            # ---- path 3: banded bf16 n_groups=16 — measured champion
+            # (6.7 Gnnz/s r2 sweep); its compile has hit 300 s+ under
+            # tunnel contention, hence a generous budget after anchors ---
             with phase("banded_bf16_g16_build", 60, report) as ok:
                 if ok:
                     bop16 = BandedProjector.from_scipy_fan(
                         A, nx, views, n_groups=16, dtype=jnp.bfloat16)
-                    report["paths"]["banded_bf16_g16_build"]["stored_mb"] = (
-                        round(bop16.stored_bytes / 1e6, 1))
-            if bop16 is not None:
-                info = report["paths"].setdefault("banded_bf16_g16", {})
-                with phase("banded_bf16_g16", 420, report) as ok:
-                    if ok:
-                        consider("banded_bf16_g16", measure_device(
-                            cgls_while, bop16, b, A.nnz, ITERS, info))
-            # exact-f32 banded datapoint (bit-exact matrix apply)
-            with phase("banded_f32", 180, report) as ok:
+            run_path("banded_bf16_g16", bop16, 300)
+
+            # ---- path 4: shear-rotate fan projector (surrogate class:
+            # own discretization, zero stored matrix; effective-nnz/s) ---
+            with phase("shear_fan_build", 30, report) as ok:
                 if ok:
-                    bop = BandedProjector.from_scipy_fan(A, nx, views)
-                    info = report["paths"]["banded_f32"]
-                    info["stored_mb"] = round(bop.stored_bytes / 1e6, 1)
-                    consider("banded_f32", measure_device(
-                        cgls_while, bop, b, A.nnz, ITERS, info))
+                    from trips_tpu.operators import ShearFanProjector
 
-        # ---- path 2: on-the-fly fan projector (zero transfer; small
-        # while-loop program compiles fast — the reliability anchor) ----
-        with phase("onthefly_fan_while", 200, report) as ok:
-            if ok:
-                from trips_tpu.operators import OnTheFlyFanProjector
+                    sf = ShearFanProjector(
+                        nx, views=views, dtype=jnp.float32,
+                        g_dtype=jnp.bfloat16)
+            run_path("shear_fan_while", sf, 240)
 
-                otf = OnTheFlyFanProjector(nx, views=views, dtype=jnp.float32)
-                info = report["paths"]["onthefly_fan_while"]
-                consider("onthefly_fan_while", measure_device(
-                    cgls_while, otf, b, A.nnz, ITERS, info))
-
-        # ---- path 3: stored BSR bf16 (32,128) — round-1 champion -------
-        op16 = None
-        if platform == "tpu":
-            with phase("bsr_bf16_transfer", 240, report) as ok:
+        # ---- path 5: stored BSR bf16/int8 (32,128) — round-1 champions -
+        if run_tpu_paths and remaining() > 150:
+            with phase("bsr_bf16_transfer", 180, report) as ok:
                 if ok:
                     from trips_tpu.sparse import BsrOperator
 
@@ -319,28 +447,9 @@ def main():
                     info = report["paths"]["bsr_bf16_transfer"]
                     info["stored_mb"] = round(op16.stored_bytes / 1e6, 1)
                     info["transfer_s"] = round(time.perf_counter() - t0, 1)
-                    log(f"BSR(32,128)bf16: {info['stored_mb']} MB "
-                        f"in {info['transfer_s']}s")
-            if op16 is not None:
-                info = report["paths"].setdefault("bsr_bf16_while", {})
-                with phase("bsr_bf16_while", 200, report) as ok:
-                    if ok:
-                        consider("bsr_bf16_while", measure_device(
-                            cgls_while, op16, b, A.nnz, ITERS, info))
-                # the scan-unrolled program is ~2x faster at runtime but
-                # compiles a much larger program — only worth it with time
-                # to spare
-                info = report["paths"].setdefault("bsr_bf16_scan", {})
-                with phase("bsr_bf16_scan", 200, report) as ok:
-                    if ok:
-                        consider("bsr_bf16_scan", measure_device(
-                            cgls_fixed, op16, b, A.nnz, ITERS, info))
-            # int8 per-block quantized: halves the HBM stream again vs bf16
-            # (the (32,128) regime is stream-bound, not index-bound);
-            # reconstruction parity within the blockmax/254 budget is
-            # pinned by tests/test_sparse.py
-            op8 = None
-            with phase("bsr_int8_transfer", 180, report) as ok:
+            run_path("bsr_bf16_scan", op16, 150, solver=cgls_fixed)
+        if run_tpu_paths and remaining() > 150:
+            with phase("bsr_int8_transfer", 150, report) as ok:
                 if ok:
                     from trips_tpu.sparse import BsrOperator
 
@@ -352,45 +461,33 @@ def main():
                     info = report["paths"]["bsr_int8_transfer"]
                     info["stored_mb"] = round(op8.stored_bytes / 1e6, 1)
                     info["transfer_s"] = round(time.perf_counter() - t0, 1)
-            if op8 is not None:
-                info = report["paths"].setdefault("bsr_int8_scan", {})
-                with phase("bsr_int8_scan", 200, report) as ok:
-                    if ok:
-                        consider("bsr_int8_scan", measure_device(
-                            cgls_fixed, op8, b, A.nnz, ITERS, info))
-        else:
-            with phase("ell_cpu", 120, report) as ok:
-                if ok:
-                    from trips_tpu.sparse import EllOperator
-
-                    op = EllOperator.from_scipy(A)
-                    info = report["paths"]["ell_cpu"]
-                    consider("ell_cpu", measure_device(
-                        cgls_while, op, b, A.nnz, ITERS, info))
+            run_path("bsr_int8_scan", op8, 150, solver=cgls_fixed)
 
         # ---- scan-unrolled run for the current champion (the scan program
-        # is faster per-iteration but compiles much larger) ----------------
+        # is faster per-iteration but compiles much larger) ---------------
         champ_op = {"shear_fan_while": sf, "banded_bf16_g32": bop32,
-                    "banded_bf16_g16": bop16}.get(best["name"])
-        if champ_op is not None:
+                    "banded_bf16_g16": bop16, "banded_f32": bopf32,
+                    "onthefly_fan_while": otf}.get(best["name"])
+        if champ_op is not None and remaining() > 120:
             cname = best["name"].replace("_while", "") + "_scan"
-            info = report["paths"].setdefault(cname, {})
-            with phase(cname, 200, report) as ok:
-                if ok:
-                    consider(cname, measure_device(
-                        cgls_fixed, champ_op, b, A.nnz, ITERS, info))
+            run_path(cname, champ_op, 180, solver=cgls_fixed)
 
         # ---- second chance: headline paths whose measurement timed out
         # under tunnel contention retry with the leftover budget (the op
         # object survives its phase; compiles are cached on retry) -------
-        for rname, rop in (("banded_bf16_g32", bop32),
-                           ("banded_bf16_g16", bop16),
+        for rname, rop in (("banded_bf16_g16", bop16),
+                           ("banded_bf16_g32", bop32),
+                           ("banded_f32", bopf32),
                            ("shear_fan_while", sf)):
             if rop is None or report["paths"].get(rname, {}).get("gnnzps"):
                 continue
             if remaining() < 90:
                 break
             info = report["paths"].setdefault(rname + "_retry", {})
+            if getattr(rop, "stored_bytes", 0):
+                info["stored_mb"] = round(rop.stored_bytes / 1e6, 1)
+            if not await_tunnel(report, rname + "_retry"):
+                break
             with phase(rname + "_retry", 300, report) as ok:
                 if ok:
                     consider(rname + "_retry", measure_device(
@@ -410,7 +507,9 @@ def main():
     if best["rate"] <= 0:
         log("no device path succeeded")
         sys.exit(1)
-    log(f"best path: {best['name']} ({best['rate']/1e9:.3f} Gnnz/s)")
+    log(f"best path: {best['name']} ({best['rate']/1e9:.3f} Gnnz/s); "
+        f"best exact-matrix: {best_exact['name']} "
+        f"({best_exact['rate']/1e9:.3f} Gnnz/s)")
 
 
 if __name__ == "__main__":

@@ -298,3 +298,28 @@ def test_hybrid_gmres_dp_stop_matvec_economy(deblur1d):
     np.testing.assert_allclose(
         np.asarray(x_stop).ravel(),
         np.asarray(info_full["xHistory"][1]).ravel(), rtol=1e-6, atol=1e-9)
+
+
+def test_direct_dense_guard(deblur1d):
+    """Direct solvers refuse to densify beyond DENSE_MAX_ELEMENTS
+    (VERDICT r2 item 7: Tikhonov GCV used to materialize np.eye(m) and
+    densify A unconditionally; a 21720x65536 operator would be 11 GB)."""
+    from trips_tpu.solvers.direct import DENSE_MAX_ELEMENTS
+    d = deblur1d
+
+    class FakeBig:
+        shape = (30_000, 30_000)
+
+    with pytest.raises(ValueError, match="direct-solver limit"):
+        Tikhonov(FakeBig(), d["b"], np.eye(d["n"]))
+    with pytest.raises(ValueError, match="direct-solver limit"):
+        tSVD_sol(FakeBig(), d["b"])
+    with pytest.raises(ValueError, match="direct-solver limit"):
+        tGSVD_sol(FakeBig(), np.eye(d["n"]), d["b"])
+    # dense_max kwarg overrides (small problem, tiny limit -> raises;
+    # generous limit -> solves)
+    with pytest.raises(ValueError, match="direct-solver limit"):
+        Tikhonov(d["A"], d["b"], np.eye(d["n"]), dense_max=10)
+    x, lam = Tikhonov(d["A"], d["b"], np.eye(d["n"]),
+                      dense_max=DENSE_MAX_ELEMENTS)
+    assert lam > 0

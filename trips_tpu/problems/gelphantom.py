@@ -64,21 +64,39 @@ def read_frames(path):
     }
 
 
+def cil_cone2d_magnification(source_origin, origin_det):
+    """CIL's Cone2D magnification: (dist_source_center +
+    dist_center_detector) / dist_source_center, computed from the geometry
+    positions exactly as ``AcquisitionGeometry`` does (the file's
+    ``geometricMagnification`` field agrees for the real bundle, but CIL
+    derives it from the configured distances — so do we)."""
+    return (source_origin + origin_det) / source_origin
+
+
+def cil_voxel_size(pixel_size, source_origin, origin_det):
+    """CIL ``get_ImageGeometry(resolution=1)``: voxel_size_xy =
+    panel.pixel_size / magnification. The reference overrides
+    ``voxel_num`` to 256 but keeps this default voxel *size*
+    (cil_io.py:196-198)."""
+    return pixel_size / cil_cone2d_magnification(source_origin, origin_det)
+
+
 def gel_operator(info, nx, angle_indices):
     """Native fan-beam (Cone2D-equivalent) matrix for the gel geometry.
 
     Distances are converted to reconstruction-voxel units with
     v = (2 * pixelSize) / magnification (see module docstring)."""
     pixel_corr = 2.0 * info["pixelSize"]
-    mag = info["geometricMagnification"]
-    v = pixel_corr / mag
+    so = info["distanceSourceOrigin"]
+    od = info["distanceOriginDetector"]
+    v = cil_voxel_size(pixel_corr, so, od)
     return fan_beam_matrix(
         nx,
         angles=info["angles"][angle_indices],
         det_count=info["numDetectors"],
         det_width=pixel_corr / v,
-        source_origin=info["distanceSourceOrigin"] / v,
-        origin_det=info["distanceOriginDetector"] / v,
+        source_origin=so / v,
+        origin_det=od / v,
     )
 
 

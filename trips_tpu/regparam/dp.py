@@ -112,11 +112,16 @@ def discrepancy_principle(Q, A, L, b, delta=None, eta=1.01, **kwargs):
     thresh = (eta * delta) ** 2
 
     if dptype == "tikhonov":
-        Q = dense_or_identity(Q)
         A = dense_or_identity(A)
-        bfull = b
-        bproj = Q.T @ b
-        out_norm2 = float(np.linalg.norm(bfull - Q @ bproj) ** 2)
+        if is_identity_matrix(Q, b.shape[0]):
+            # identity Q short-circuit: avoids materializing an m x m eye
+            # when called on the full (unprojected) system (direct Tikhonov)
+            bproj = b
+            out_norm2 = 0.0
+        else:
+            Q = dense_or_identity(Q)
+            bproj = Q.T @ b
+            out_norm2 = float(np.linalg.norm(b - Q @ bproj) ** 2)
 
         Anew, bnew = _standard_form(A, L, bproj)
         return _dp_newton(Anew, bnew, out_norm2, thresh, explicit_proj)

@@ -27,6 +27,25 @@ _DP_NAMES = ("DP", "dp", "Dp", "Discrepancy Principle", "Discrepancy principle",
              "discrepancy principle")
 
 
+# Direct solvers densify A (and run LAPACK SVD/GSVD on it): O(m*n) memory
+# and O(m*n^2) work. Beyond this element count the dense route is unusable
+# (a 21720x65536 tomography operator would be 11 GB dense) — use the
+# hybrid/fused iterative solvers instead. Override via dense_max= kwarg.
+DENSE_MAX_ELEMENTS = 25_000_000  # ~5000 x 5000 f64 (0.2 GB)
+
+
+def _guard_dense(shape, dense_max, who):
+    m, n = shape
+    if m * n > dense_max:
+        raise ValueError(
+            f"{who}: operator is {m}x{n} = {m * n:,} elements dense, above "
+            f"the direct-solver limit of {dense_max:,} "
+            "(densification + LAPACK decomposition would need "
+            f"{m * n * 8 / 1e9:.1f} GB). Use an iterative solver "
+            "(hybrid_lsqr / fused_hybrid_lsqr, gks, mmgks) for operators "
+            "of this size, or pass dense_max= to override.")
+
+
 def _densify(M, n=None):
     if isinstance(M, IdentityOperator):
         return np.eye(M.shape[0])
@@ -39,13 +58,19 @@ def _densify(M, n=None):
 
 def Tikhonov(A, b, L, x_true=None, regparam="gcv", **kwargs):
     """Returns (x, lam)."""
+    dense_max = kwargs.pop("dense_max", DENSE_MAX_ELEMENTS)
+    _guard_dense(A.shape, dense_max, "Tikhonov")
     A = _densify(A)
     L = _densify(L)
     b = np.asarray(b, dtype=float).reshape(-1, 1)
+    # IdentityOperator stands in for the reference's np.eye(m) Q argument
+    # (trips/solvers/Tikhonov.py:22-27) without the O(m^2) materialization;
+    # both gcv and dp short-circuit identity Q.
+    eye_q = IdentityOperator(A.shape[0])
     if regparam in _GCV_NAMES:
-        lam = generalized_crossvalidation(np.eye(A.shape[0]), A, L, b)
+        lam = generalized_crossvalidation(eye_q, A, L, b)
     elif regparam in _DP_NAMES:
-        lam = discrepancy_principle(np.eye(A.shape[0]), A, L, b, **kwargs)
+        lam = discrepancy_principle(eye_q, A, L, b, **kwargs)
     else:
         lam = regparam
     Aj = jnp.asarray(A)
@@ -57,6 +82,8 @@ def Tikhonov(A, b, L, x_true=None, regparam="gcv", **kwargs):
 
 def tSVD_sol(A, b, regparam="gcv", **kwargs):
     """Returns (x, k)."""
+    _guard_dense(A.shape, kwargs.pop("dense_max", DENSE_MAX_ELEMENTS),
+                 "tSVD_sol")
     b = np.asarray(b, dtype=float).reshape(-1, 1)
     delta = kwargs.get("delta", None)
     if regparam == "dp" and delta is None:
@@ -80,6 +107,8 @@ def tSVD_sol(A, b, regparam="gcv", **kwargs):
 
 def tGSVD_sol(A, L, b, regparam="gcv", **kwargs):
     """Returns (x, k)."""
+    _guard_dense(A.shape, kwargs.pop("dense_max", DENSE_MAX_ELEMENTS),
+                 "tGSVD_sol")
     b = np.asarray(b, dtype=float).reshape(-1, 1)
     delta = kwargs.get("delta", None)
     if regparam == "dp" and delta is None:
