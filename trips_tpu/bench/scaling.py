@@ -1,60 +1,115 @@
 """nnz/s scaling-efficiency harness (1 chip -> N chips / hosts).
 
 BASELINE target: >=80% nnz/s scaling efficiency at 2+ hosts. This harness
-runs the fused CGLS loop over the row-sharded operator on 1, 2, ..., N
-devices of whatever backend is available and reports the efficiency curve.
+runs the fused CGLS loop over the sharded operators on 1, 2, ..., N
+devices of whatever backend is available and reports the efficiency curve
+for BOTH distributed formats:
+
+- ``banded``: the angle-sharded banded projector
+  (``parallel/sharded_banded.py``) — the format the TPU perf path actually
+  recommends (single-chip champion, VERDICT r2 item 4);
+- ``bsr``: the row-sharded BSR block stream (``parallel/sharded_bsr.py``).
+
 On the CI/dev CPU backend (simulated devices) the numbers are functional
-smoke only; on a real pod slice every host runs this same entry point after
-``parallel.init_multihost``.
+smoke only — XLA collectives over host-platform devices share one set of
+cores, so "efficiency" there validates plumbing, not ICI scaling; the
+emitted artifact is labeled accordingly. On a real pod slice every host
+runs this same entry point after ``parallel.init_multihost``.
+
+Run ``python -m trips_tpu.bench.scaling [out.json]`` to write the artifact.
 """
 from __future__ import annotations
 
+import json
+import sys
 import time
 
 import numpy as np
 
 
-def run(nx=256, views=60, iters=50, device_counts=None):
+def _measure(op, b, iters):
     import jax
     import jax.numpy as jnp
 
     from ..krylov import cgls
-    from ..parallel import ShardedBsrOperator, make_mesh
+
+    bp = jnp.pad(jnp.asarray(b), (0, op.shape[0] - b.shape[0]))
+    x0 = jnp.zeros(op.shape[1], jnp.float32)
+    x, k = cgls(op, bp, x0, 2, 0.0)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    x, k = cgls(op, bp, x0, iters, 0.0)
+    jax.block_until_ready(x)
+    return int(k) * 2 / (time.perf_counter() - t0)  # applies of A per sec
+
+
+def run(nx=256, views=60, iters=50, device_counts=None, formats=("banded",
+                                                                 "bsr")):
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import (ShardedBandedProjector, ShardedBsrOperator,
+                            make_mesh)
     from ..problems.projector import fan_beam_matrix
+    from ..sparse import BandedProjector
 
     devices = jax.devices()
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+    on_tpu = devices[0].platform == "tpu"
 
     A = fan_beam_matrix(nx, views=views).astype(np.float32)
-    b = jnp.asarray((A @ np.random.default_rng(0).random(A.shape[1])).astype(np.float32))
+    b = (A @ np.random.default_rng(0).random(A.shape[1])).astype(np.float32)
 
-    results = []
-    for nd in device_counts:
-        mesh = make_mesh({"rows": nd}, devices=devices[:nd])
-        # the TPU-recommended format: sharded BSR block stream
-        # (bf16 blocks on TPU halve the HBM stream; f32 on CPU sim)
-        sop = ShardedBsrOperator.from_scipy(
-            A, mesh, block_shape=(32, 128),
-            block_dtype=jnp.bfloat16 if devices[0].platform == "tpu"
-            else None)
-        bp = jnp.pad(b, (0, sop.shape[0] - b.shape[0]))
-        x0 = jnp.zeros(sop.shape[1], jnp.float32)
-        x, k = cgls(sop, bp, x0, 2, 0.0)
-        jax.block_until_ready(x)
-        t0 = time.perf_counter()
-        x, k = cgls(sop, bp, x0, iters, 0.0)
-        jax.block_until_ready(x)
-        dt = time.perf_counter() - t0
-        rate = int(k) * 2 * A.nnz / dt
-        results.append((nd, rate))
-    base = results[0][1]
-    return [
-        {"devices": nd, "nnz_per_s": rate, "efficiency": rate / (base * nd)}
-        for nd, rate in results
-    ]
+    out = {}
+    for fmt in formats:
+        results = []
+        bop = None
+        if fmt == "banded":
+            bop = BandedProjector.from_scipy_fan(
+                A, nx, views, n_groups=16,
+                dtype=jnp.bfloat16 if on_tpu else None)
+        for nd in device_counts:
+            if fmt == "banded":
+                mesh = make_mesh({"angles": nd}, devices=devices[:nd])
+                sop = ShardedBandedProjector.from_banded(
+                    bop, mesh, axis="angles")
+            else:
+                mesh = make_mesh({"rows": nd}, devices=devices[:nd])
+                sop = ShardedBsrOperator.from_scipy(
+                    A, mesh, block_shape=(32, 128),
+                    block_dtype=jnp.bfloat16 if on_tpu else None)
+            rate = _measure(sop, b, iters) * A.nnz
+            results.append((nd, rate))
+        base = results[0][1]
+        out[fmt] = [
+            {"devices": nd, "nnz_per_s": rate,
+             "efficiency": rate / (base * nd)}
+            for nd, rate in results
+        ]
+    return out
+
+
+def main(out_path="SCALING.json", nx=64, views=24, iters=20):
+    import jax
+
+    platform = jax.devices()[0].platform
+    results = run(nx=nx, views=views, iters=iters)
+    artifact = {
+        "config": {"nx": nx, "views": views, "iters": iters},
+        "platform": f"{platform} x{len(jax.devices())}",
+        # simulated host-platform devices share physical cores: this
+        # artifact validates that the sharded formats + collectives
+        # compile and execute at every device count, NOT ICI scaling
+        "label": ("functional_smoke_simulated_devices"
+                  if platform != "tpu" else "measured"),
+        "formats": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+    return artifact
 
 
 if __name__ == "__main__":
-    for row in run(nx=64, views=20, iters=20):
-        print(row)
+    main(*(sys.argv[1:2] or ["SCALING.json"]))
