@@ -299,3 +299,87 @@ def test_fused_hybrid_gmres_matches_host():
         np.testing.assert_allclose(
             np.asarray(x_dev), np.asarray(x_host).reshape(-1), atol=2e-4,
             err_msg=mode)
+
+
+def test_fused_f32_all_modes_all_solvers():
+    """Pure-f32 subprocess coverage for every regparam mode across every
+    fused solver (VERDICT r2 item 10): the on-device L-curve and the
+    hybrid rectangular DP are the newest scalar rules; all 16
+    (solver x mode) combos must track their f64 trajectories when the
+    whole solve runs in float32 (as on TPU, where f64 does not exist).
+
+    "Track" = selected lam within 2x (both zero allowed: hybrid-LSQR DP
+    legitimately keeps lam 0 on this config) and reconstruction error
+    within 4x (mmgks-gcv amplifies an already-diverged config ~3.2x; every
+    faithful-bad outcome — e.g. hybrid-GMRES DP err ~28 — must be equally
+    bad in both precisions, not an f32-only collapse)."""
+    import os
+    import subprocess
+    import sys
+
+    matrix_src = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "{x64}"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from trips_tpu.problems import Deblurring1D\n"
+        "from trips_tpu.solvers.fused import (fused_gks, fused_mmgks,\n"
+        "    fused_hybrid_lsqr, fused_hybrid_gmres)\n"
+        "from trips_tpu.operators import FirstDerivative1D\n"
+        "np.random.seed(11)\n"
+        "prob = Deblurring1D()\n"
+        "A = prob.forward_Op_1D(30, 200)\n"
+        "x_true = prob.gen_xtrue(200, 'curve0')\n"
+        "b, delta = prob.add_noise(prob.gen_data(x_true), 'Gaussian', 0.02)\n"
+        "b = jnp.asarray(np.asarray(b).reshape(-1))\n"
+        "delta = float(delta)\n"
+        "L = FirstDerivative1D(200)\n"
+        "xt = np.asarray(x_true).ravel()\n"
+        "for mode in ('gcv', 'dp', 'l_curve', 'scalar'):\n"
+        "    kw = dict(regparam_mode=mode, delta=delta)\n"
+        "    if mode == 'scalar': kw['regparam'] = 1e-2\n"
+        "    for name, call in (\n"
+        "        ('gks', lambda: fused_gks(A, b, L, projection_dim=3,\n"
+        "                                  n_iter=15, **kw)),\n"
+        "        ('mmgks', lambda: fused_mmgks(A, b, L, pnorm=2, qnorm=1,\n"
+        "                          projection_dim=3, n_iter=15, **kw)),\n"
+        "        ('hlsqr', lambda: fused_hybrid_lsqr(A, b, n_iter=20, **kw)),\n"
+        "        ('hgmres', lambda: fused_hybrid_gmres(A, b, n_iter=20,\n"
+        "                                              **kw)),\n"
+        "    ):\n"
+        "        out = call()\n"
+        "        x, lams = out[0], out[1]\n"
+        "        assert np.isfinite(np.asarray(x)).all(), (name, mode)\n"
+        "        assert np.isfinite(np.asarray(lams)).all(), (name, mode)\n"
+        "        assert np.asarray(x).dtype == np.dtype('{dt}'), (name, mode)\n"
+        "        err = np.linalg.norm(np.asarray(x)-xt)/np.linalg.norm(xt)\n"
+        "        print('COMBO', name, mode, err, float(np.asarray(lams)[-1]))\n"
+    )
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS_FORCE="cpu")
+
+    def run_matrix(x64):
+        src = matrix_src.format(
+            x64="jax.config.update('jax_enable_x64', True)\n" if x64 else "",
+            dt="float64" if x64 else "float32")
+        r = subprocess.run([sys.executable, "-c", src], capture_output=True,
+                           text=True, env=env, cwd=ROOT, timeout=560)
+        assert r.returncode == 0, r.stdout + r.stderr
+        out = {}
+        for line in r.stdout.splitlines():
+            if line.startswith("COMBO"):
+                _, name, mode, err, lam = line.split()
+                out[(name, mode)] = (float(err), float(lam))
+        assert len(out) == 16, r.stdout
+        return out
+
+    f32 = run_matrix(x64=False)
+    f64 = run_matrix(x64=True)
+    for combo in f64:
+        e32, l32 = f32[combo]
+        e64, l64 = f64[combo]
+        assert e32 < 4 * max(e64, 0.05), (combo, e32, e64)
+        if l64 == 0.0 or l32 == 0.0:
+            assert l32 == l64 == 0.0, (combo, l32, l64)
+        else:
+            assert 0.5 < l32 / l64 < 2.0, (combo, l32, l64)
