@@ -200,7 +200,7 @@ def scipy_cgls_rate(A, b, iters):
     return iters * 2 * A.nnz / dt
 
 
-def measure_device(fn, op, b, nnz, iters, info, runs=3):
+def measure_device(fn, op, b, nnz, iters, info, runs=3, stream_factor=2):
     """Compile once, then median-of-N timed runs.
 
     Synchronization is a 4-byte scalar fetch (``float(norm(x))``), not an
@@ -228,8 +228,9 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3):
         info["runs_gnnzps"].append(round(rates[-1] / 1e9, 3))
         info["gnnzps"] = round(float(np.median(rates)) / 1e9, 3)
         stored = info.get("stored_mb")
-        if stored:  # roofline: operator streamed twice per iteration
-            streamed = 2 * iters * stored * 1e6
+        if stored:  # roofline: operator streamed stream_factor times per
+            # iteration (2 = separate fwd+adj; 1 = fused A^T A kernel)
+            streamed = stream_factor * iters * stored * 1e6
             info["streamed_gb"] = round(streamed / 1e9, 2)
             best_wall = iters * 2 * nnz / max(rates)
             info["gbps"] = round(streamed / best_wall / 1e9, 1)
@@ -261,7 +262,7 @@ CLASSES = {
 
 def classify(name):
     base = name.replace("_retry", "").replace("_scan", "").replace(
-        "_while", "")
+        "_while", "").replace("_ata", "")
     for key, cls in CLASSES.items():
         if key.replace("_while", "").replace("_scan", "") == base:
             return cls
@@ -335,7 +336,7 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        from trips_tpu.krylov import cgls, cgls_fixed
+        from trips_tpu.krylov import cgls, cgls_fixed, cgls_normal
 
         platform = jax.devices()[0].platform
         report["platform"] = f"{platform} {jax.devices()}"
@@ -354,7 +355,8 @@ def main():
             if rate and info["exact_matrix"] and rate > best_exact["rate"]:
                 best_exact.update(name=name, rate=float(rate))
 
-        def run_path(name, op, budget, solver=None, nnz_eff=None):
+        def run_path(name, op, budget, solver=None, nnz_eff=None,
+                     stream_factor=2):
             """probe-await, then measure one path under its own budget."""
             if op is None:
                 return
@@ -371,7 +373,7 @@ def main():
                 if ok:
                     consider(name, measure_device(
                         solver or cgls_while, op, b, nnz_eff or A.nnz,
-                        ITERS, info))
+                        ITERS, info, stream_factor=stream_factor))
 
         if platform != "tpu":
             op = None
@@ -405,6 +407,10 @@ def main():
                     bop32 = BandedProjector.from_scipy_fan(
                         A, nx, views, n_groups=32, dtype=jnp.bfloat16)
             run_path("banded_bf16_g32", bop32, 150)
+            # fused A^T A variant: CG on the normal equations streams the
+            # stored band ONCE per iteration (same fwd+adj arithmetic)
+            run_path("banded_bf16_g32_ata", bop32, 150, solver=cgls_normal,
+                     stream_factor=1)
 
             # ---- path 2: banded f32 — the exact-stored-matrix champion
             # (bit-exact Siddon repack; 2.75 Gnnz/s r2) ------------------
@@ -412,6 +418,8 @@ def main():
                 if ok:
                     bopf32 = BandedProjector.from_scipy_fan(A, nx, views)
             run_path("banded_f32", bopf32, 150)
+            run_path("banded_f32_ata", bopf32, 150, solver=cgls_normal,
+                     stream_factor=1)
 
             # ---- path 3: banded bf16 n_groups=16 — measured champion
             # (6.7 Gnnz/s r2 sweep); its compile has hit 300 s+ under
@@ -421,6 +429,8 @@ def main():
                     bop16 = BandedProjector.from_scipy_fan(
                         A, nx, views, n_groups=16, dtype=jnp.bfloat16)
             run_path("banded_bf16_g16", bop16, 300)
+            run_path("banded_bf16_g16_ata", bop16, 150, solver=cgls_normal,
+                     stream_factor=1)
 
             # ---- path 4: shear-rotate fan projector (surrogate class:
             # own discretization, zero stored matrix; effective-nnz/s) ---
@@ -441,8 +451,7 @@ def main():
 
                     t0 = time.perf_counter()
                     op16 = BsrOperator.from_scipy(
-                        A, block_shape=(32, 128), block_dtype=jnp.bfloat16,
-                        prefer_pallas=False)
+                        A, block_shape=(32, 128), block_dtype=jnp.bfloat16)
                     jax.block_until_ready(op16.blocks)
                     info = report["paths"]["bsr_bf16_transfer"]
                     info["stored_mb"] = round(op16.stored_bytes / 1e6, 1)
@@ -455,8 +464,7 @@ def main():
 
                     t0 = time.perf_counter()
                     op8 = BsrOperator.from_scipy(
-                        A, block_shape=(32, 128), block_dtype=jnp.int8,
-                        prefer_pallas=False)
+                        A, block_shape=(32, 128), block_dtype=jnp.int8)
                     jax.block_until_ready(op8.blocks)
                     info = report["paths"]["bsr_int8_transfer"]
                     info["stored_mb"] = round(op8.stored_bytes / 1e6, 1)
@@ -475,23 +483,19 @@ def main():
         # ---- second chance: headline paths whose measurement timed out
         # under tunnel contention retry with the leftover budget (the op
         # object survives its phase; compiles are cached on retry) -------
-        for rname, rop in (("banded_bf16_g16", bop16),
-                           ("banded_bf16_g32", bop32),
-                           ("banded_f32", bopf32),
-                           ("shear_fan_while", sf)):
+        for rname, rop, rsolver, sfac in (
+                ("banded_bf16_g16", bop16, None, 2),
+                ("banded_bf16_g32", bop32, None, 2),
+                ("banded_f32", bopf32, None, 2),
+                ("banded_bf16_g32_ata", bop32, cgls_normal, 1),
+                ("banded_f32_ata", bopf32, cgls_normal, 1),
+                ("shear_fan_while", sf, None, 2)):
             if rop is None or report["paths"].get(rname, {}).get("gnnzps"):
                 continue
             if remaining() < 90:
                 break
-            info = report["paths"].setdefault(rname + "_retry", {})
-            if getattr(rop, "stored_bytes", 0):
-                info["stored_mb"] = round(rop.stored_bytes / 1e6, 1)
-            if not await_tunnel(report, rname + "_retry"):
-                break
-            with phase(rname + "_retry", 300, report) as ok:
-                if ok:
-                    consider(rname + "_retry", measure_device(
-                        cgls_while, rop, b, A.nnz, ITERS, info))
+            run_path(rname + "_retry", rop, 300, solver=rsolver,
+                     stream_factor=sfac)
 
         # ---- contention sentinel: re-run the host baseline --------------
         with phase("baseline_sentinel", 60, report) as ok:

@@ -100,3 +100,57 @@ def test_nonsquare_angle_split():
     np.testing.assert_allclose(
         np.asarray(op.matvec_xla(jnp.asarray(x))), A @ x, rtol=2e-6,
         atol=1e-6)
+
+
+def test_ata_kernel_interpret_matches_composed(packed, rng):
+    """Fused A^T A kernel (single weight stream per normal apply) matches
+    the composed rmatvec(matvec(x)) oracle and scipy A.T @ (A @ x)."""
+    from trips_tpu.sparse.pallas_banded_kernel import (
+        banded_normal_apply_pallas)
+
+    nx, views, A, op = packed
+    x = jnp.asarray(rng.standard_normal(op.shape[1]).astype(np.float32))
+    got = np.asarray(banded_normal_apply_pallas(op, x, interpret=True))
+    np.testing.assert_allclose(
+        got, np.asarray(op.rmatvec_xla(op.matvec_xla(x))),
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got, A.T @ (A @ np.asarray(x)),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_ata_kernel_symmetry(packed, rng):
+    """A^T A is symmetric PSD: <N x, y> == <x, N y> and <N x, x> >= 0."""
+    from trips_tpu.sparse.pallas_banded_kernel import (
+        banded_normal_apply_pallas)
+
+    _, _, _, op = packed
+    x = jnp.asarray(rng.standard_normal(op.shape[1]).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(op.shape[1]).astype(np.float32))
+    Nx = np.asarray(banded_normal_apply_pallas(op, x, interpret=True))
+    Ny = np.asarray(banded_normal_apply_pallas(op, y, interpret=True))
+    lhs = float(Nx @ np.asarray(y))
+    rhs = float(np.asarray(x) @ Ny)
+    assert abs(lhs - rhs) < 1e-3 * max(1.0, abs(lhs))
+    assert float(Nx @ np.asarray(x)) >= 0
+
+
+def test_cgls_normal_matches_cgls(packed):
+    """cgls_normal (one fused normal apply per iteration) produces the
+    same Krylov iterates as the two-apply cgls up to roundoff: compare
+    reconstructions after a fixed iteration count."""
+    from trips_tpu.krylov import cgls, cgls_normal, cgls_normal_fixed
+    from trips_tpu.problems.phantoms import shepp_logan
+
+    nx, views, A, op = packed
+    xt = shepp_logan(nx).reshape(-1).astype(np.float32)
+    b = jnp.asarray(A @ xt)
+    x0 = jnp.zeros(op.shape[1], jnp.float32)
+    x_std, _ = cgls(op, b, x0, 20, 0.0)
+    x_nrm, k = cgls_normal(op, b, x0, 20, 0.0)
+    assert int(k) == 20
+    d = np.linalg.norm(np.asarray(x_nrm) - np.asarray(x_std))
+    assert d < 2e-2 * np.linalg.norm(np.asarray(x_std)), d
+    # scan variant matches the while variant closely (same recurrence)
+    x_fix, _ = cgls_normal_fixed(op, b, x0, 20)
+    np.testing.assert_allclose(np.asarray(x_fix), np.asarray(x_nrm),
+                               rtol=2e-4, atol=2e-4)

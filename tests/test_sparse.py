@@ -108,9 +108,9 @@ def test_bf16_blocks_reconstruction_parity(rng):
     b_true = Af @ xt
     e = rng.standard_normal(len(b_true)).astype(np.float32)
     b = b_true + 0.01 * np.linalg.norm(b_true) / np.linalg.norm(e) * e
-    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32), prefer_pallas=False)
+    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32))
     op16 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
-                                  block_dtype=jnp.bfloat16, prefer_pallas=False)
+                                  block_dtype=jnp.bfloat16)
     x32, _ = cgls(op32, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
     x16, _ = cgls(op16, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
     rel = np.linalg.norm(np.asarray(x16) - np.asarray(x32)) / np.linalg.norm(np.asarray(x32))
@@ -128,8 +128,7 @@ def test_int8_blocks_quantized_apply(rng):
     from trips_tpu.problems.projector import fan_beam_matrix
 
     A = random_sparse(rng, 123, 87).astype(np.float32)
-    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8,
-                                prefer_pallas=False)
+    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8)
     assert op.blocks.dtype == jnp.int8 and op.quant_scale is not None
     x = rng.standard_normal(87).astype(np.float32)
     y = rng.standard_normal(123).astype(np.float32)
@@ -146,10 +145,9 @@ def test_int8_blocks_quantized_apply(rng):
     b_true = Af @ xt
     e = rng.standard_normal(len(b_true)).astype(np.float32)
     b = b_true + 0.01 * np.linalg.norm(b_true) / np.linalg.norm(e) * e
-    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
-                                  prefer_pallas=False)
+    op32 = BsrOperator.from_scipy(Af, block_shape=(16, 32))
     op8 = BsrOperator.from_scipy(Af, block_shape=(16, 32),
-                                 block_dtype=jnp.int8, prefer_pallas=False)
+                                 block_dtype=jnp.int8)
     x32, _ = cgls(op32, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
     x8, _ = cgls(op8, jnp.asarray(b), jnp.zeros(nx * nx, jnp.float32), 20, 0.0)
     rel = (np.linalg.norm(np.asarray(x8) - np.asarray(x32))
@@ -164,8 +162,7 @@ def test_int8_todense_not_zero(rng):
     import jax.numpy as jnp
 
     A = random_sparse(rng, 64, 48).astype(np.float32)
-    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8,
-                                prefer_pallas=False)
+    op = BsrOperator.from_scipy(A, block_shape=(8, 32), block_dtype=jnp.int8)
     assert op.dtype == jnp.float32
     dense = op.to_scipy()
     assert dense.dtype == np.float32
@@ -176,55 +173,7 @@ def test_int8_todense_not_zero(rng):
     assert op.stored_bytes > op.blocks.size
 
 
-# ---- Pallas BSR kernel under test (interpret=True; VERDICT r1 item 4) ----
-
-def _pallas_bsr_roundtrip(A, bs, rng, block_dtype=None):
-    import jax.numpy as jnp
-
-    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply
-
-    kw = {"block_dtype": block_dtype} if block_dtype else {}
-    op = BsrOperator.from_scipy(A.tocsr(), bs=bs, **kw)
-    br, bc = op.block_shape
-    x = rng.standard_normal(A.shape[1]).astype(np.float32)
-    y = rng.standard_normal(A.shape[0]).astype(np.float32)
-    fwd = np.asarray(_pallas_bsr_apply(
-        op.blocks, op.brow, op.bcol, jnp.asarray(x), br, bc, A.shape[0],
-        False, interpret=True))
-    adj = np.asarray(_pallas_bsr_apply(
-        op.blocks, op.brow, op.bcol, jnp.asarray(y), br, bc, A.shape[1],
-        True, interpret=True))
-    return fwd, adj, x, y
-
-
-def test_pallas_bsr_matches_scipy(rng):
-    """Forward + adjoint Pallas BSR kernel vs scipy on a ragged-edge
-    matrix (m, n not multiples of the block shape; empty block rows)."""
-    A = random_sparse(rng, 123, 87)
-    A = A.tolil()
-    A[32:48, :] = 0.0  # an empty block-row band
-    A = A.tocsr()
-    A.eliminate_zeros()
-    fwd, adj, x, y = _pallas_bsr_roundtrip(A, 16, rng)
-    np.testing.assert_allclose(fwd, A @ x, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(adj, A.T @ y, rtol=1e-5, atol=1e-5)
-
-
-def test_pallas_bsr_rect_blocks(rng):
-    """Rectangular (8, 32) blocks — the TPU-shaped configuration."""
-    A = random_sparse(rng, 96, 160)
-    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply  # noqa: F401
-
-    import jax.numpy as jnp
-
-    op = BsrOperator.from_scipy(A.tocsr(), block_shape=(8, 32))
-    x = rng.standard_normal(160).astype(np.float32)
-    y = rng.standard_normal(96).astype(np.float32)
-    from trips_tpu.sparse.pallas_spmv import _pallas_bsr_apply as pk
-
-    fwd = np.asarray(pk(op.blocks, op.brow, op.bcol, jnp.asarray(x), 8, 32,
-                        96, False, interpret=True))
-    adj = np.asarray(pk(op.blocks, op.brow, op.bcol, jnp.asarray(y), 8, 32,
-                        160, True, interpret=True))
-    np.testing.assert_allclose(fwd, A @ x, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(adj, A.T @ y, rtol=1e-5, atol=1e-5)
+# The per-block Pallas BSR kernel was retired (VERDICT r2 item 8): the XLA
+# einsum + segment-sum apply is the BSR path (driver-recorded 2.15-2.35
+# Gnnz/s vs the kernel's 0.10 on tomo256x60); the banded Pallas kernel
+# owns the stored-matrix fast path.

@@ -104,6 +104,79 @@ def cgls_fixed(A, b, x0, iters: int):
     return s.x, s.k
 
 
+class CGNState(NamedTuple):
+    x: jax.Array
+    t: jax.Array
+    p: jax.Array
+    gamma: jax.Array
+    norms_t0: jax.Array
+    k: jax.Array
+    done: jax.Array
+
+
+def _normal_apply(A):
+    if hasattr(A, "normal_matvec"):
+        return A.normal_matvec
+    return lambda v: A.rmatvec(A.matvec(v))
+
+
+def _cgn_init(A, b, x0):
+    x = jnp.reshape(x0, (-1,))
+    b = jnp.reshape(b, (-1,))
+    t = A.rmatvec(b) - _normal_apply(A)(x)
+    norms_t0 = jnp.linalg.norm(t)
+    return CGNState(x=x, t=t, p=t, gamma=norms_t0**2, norms_t0=norms_t0,
+                    k=jnp.zeros((), jnp.int32),
+                    done=jnp.zeros((), jnp.bool_))
+
+
+def _cgn_step(A, tol, s: CGNState) -> CGNState:
+    q = _normal_apply(A)(s.p)
+    delta = jnp.vdot(s.p, q)
+    delta = jnp.where(delta == 0, jnp.finfo(s.x.dtype).eps, delta)
+    beta = s.gamma / delta
+    x = s.x + beta * s.p
+    t = s.t - beta * q
+    norm_t = jnp.linalg.norm(t)
+    gamma = norm_t**2
+    p = t + (gamma / s.gamma) * s.p
+    done = norm_t <= s.norms_t0 * tol
+    return CGNState(x=x, t=t, p=p, gamma=gamma, norms_t0=s.norms_t0,
+                    k=s.k + 1, done=done)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def cgls_normal(A, b, x0, max_iter: int, tol=0.0):
+    """CG on the normal equations A^T A x = A^T b with a *fused* normal
+    apply: one ``A.normal_matvec`` per iteration instead of separate
+    ``A p`` and ``A^T r``. Mathematically the same iterates as ``cgls``
+    (identical Krylov recurrence; ``delta = p.(A^T A p) == ||Ap||^2``);
+    numerically they differ only in f32 roundoff.
+
+    Operators exposing ``normal_matvec`` (e.g. ``BandedProjector`` on TPU)
+    stream their stored weights from HBM ONCE per iteration — half the
+    dominant traffic of a stored-matrix CGLS iteration. Returns (x, k)."""
+    s0 = _cgn_init(A, b, x0)
+
+    def cond(s):
+        return jnp.logical_and(s.k < max_iter, jnp.logical_not(s.done))
+
+    s = jax.lax.while_loop(cond, lambda s: _cgn_step(A, tol, s), s0)
+    return s.x, s.k
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def cgls_normal_fixed(A, b, x0, iters: int):
+    """Fixed-iteration scan-unrolled variant of ``cgls_normal``."""
+    s0 = _cgn_init(A, b, x0)
+
+    def f(s, _):
+        return _cgn_step(A, 0.0, s), None
+
+    s, _ = jax.lax.scan(f, s0, None, length=iters, unroll=4)
+    return s.x, s.k
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 def cgls_history(A, b, x0, max_iter: int, tol):
     """Scanned CGLS recording per-iteration solutions and diagnostics.

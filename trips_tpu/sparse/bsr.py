@@ -77,13 +77,16 @@ class BsrOperator(LinearOperator):
     ``_einsum_blocks``, ~2^-8 relative) — the same ~8-bit mantissa budget as
     bf16, absolute rather than relative.
 
-    Note: ``prefer_pallas=True`` currently applies only to unquantized
-    blocks; int8-quantized operators always take the XLA segment-sum apply
-    (no quantized Pallas kernel yet — see ``pallas_spmv.bsr_matvec``).
+    The apply is the XLA einsum + segment-sum form. A per-block Pallas
+    kernel was built and retired (VERDICT r2 item 8): per-block dispatch
+    overhead capped it at ~0.10 Gnnz/s vs the XLA apply's 2.15-2.35 on the
+    same stored stream (driver-recorded, tomo256x60), and the shear-packed
+    banded kernel (``pallas_banded_kernel``) owns the stored-matrix fast
+    path outright.
     """
 
     def __init__(self, blocks, brow, bcol, rowptr, shape, block_shape, nnz,
-                 prefer_pallas=True, quant_scale=None):
+                 quant_scale=None):
         self.blocks = jnp.asarray(blocks)
         self.brow = jnp.asarray(brow)
         self.bcol = jnp.asarray(bcol)
@@ -91,13 +94,12 @@ class BsrOperator(LinearOperator):
         self.shape = tuple(shape)
         self.block_shape = tuple(block_shape)
         self.nnz = nnz
-        self.prefer_pallas = prefer_pallas
         self.quant_scale = (None if quant_scale is None
                             else jnp.asarray(quant_scale))
 
     @classmethod
     def from_scipy(cls, A, bs: int = None, dtype=None, block_dtype=None,
-                   block_shape=None, prefer_pallas=True):
+                   block_shape=None):
         from scipy import sparse as sp
 
         if block_shape is not None:
@@ -120,7 +122,7 @@ class BsrOperator(LinearOperator):
         elif block_dtype is not None:
             blocks = blocks.astype(block_dtype)
         return cls(blocks, brow, bcol, rowptr, A.shape, (br, bc), nnz,
-                   prefer_pallas=prefer_pallas, quant_scale=quant_scale)
+                   quant_scale=quant_scale)
 
     @property
     def dtype(self):
@@ -216,14 +218,10 @@ class BsrOperator(LinearOperator):
 
     # -- public applies ---------------------------------------------------
     def matvec(self, x):
-        from .pallas_spmv import bsr_matvec
-
-        return bsr_matvec(self, x, transpose=False)
+        return self._apply(x, transpose=False)
 
     def rmatvec(self, y):
-        from .pallas_spmv import bsr_matvec
-
-        return bsr_matvec(self, y, transpose=True)
+        return self._apply(y, transpose=True)
 
     def matvec_xla(self, x):
         return self._apply(x, transpose=False)
@@ -241,5 +239,5 @@ class BsrOperator(LinearOperator):
 register_op(
     BsrOperator,
     ["blocks", "brow", "bcol", "rowptr", "quant_scale"],
-    ["shape", "block_shape", "nnz", "prefer_pallas"],
+    ["shape", "block_shape", "nnz"],
 )
