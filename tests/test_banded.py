@@ -154,3 +154,25 @@ def test_cgls_normal_matches_cgls(packed):
     x_fix, _ = cgls_normal_fixed(op, b, x0, 20)
     np.testing.assert_allclose(np.asarray(x_fix), np.asarray(x_nrm),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_batched_groups_variant_matches_loop(packed, rng):
+    """The G-batched dot_general formulation of all three kernels (fwd,
+    adj, fused A^T A) is arithmetically identical to the per-group loop."""
+    from trips_tpu.sparse.pallas_banded_kernel import (
+        banded_apply_pallas, banded_normal_apply_pallas)
+
+    _, _, A, op = packed
+    x = jnp.asarray(rng.standard_normal(op.shape[1]).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(op.shape[0]).astype(np.float32))
+    for v, transpose in ((x, False), (y, True)):
+        a = np.asarray(banded_apply_pallas(op, v, transpose,
+                                           interpret=True, batched=False))
+        b = np.asarray(banded_apply_pallas(op, v, transpose,
+                                           interpret=True, batched=True))
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+    a = np.asarray(banded_normal_apply_pallas(op, x, interpret=True,
+                                              batched=False))
+    b = np.asarray(banded_normal_apply_pallas(op, x, interpret=True,
+                                              batched=True))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

@@ -37,6 +37,7 @@ Replaces the stored-matrix role of ASTRA's projector
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,16 +61,30 @@ def _roll_rows(buf, s_col, n, sign):
     return buf
 
 
-def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
-                f32_exact):
-    a = pl.program_id(0)
-    p_pad = w_ref.shape[3]
+def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
+    """Sheared image -> one sinogram row. ``batched=True`` expresses the
+    per-group one-hot selections as a single G-batched dot_general (no
+    interleaved VPU work between MXU calls); ``False`` is the original
+    unrolled per-group loop."""
+    p_pad = w.shape[2]
     gsize = n // n_groups
     mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if f32_exact else None
-    xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
-    w = w_ref[0]   # (T, n, p_pad) value; sliced per group below
-    pm = p_ref[0]  # (n_groups, p_pad)
+    if batched:
+        R = jnp.stack([xs if t == 0 else jnp.roll(xs, -t, axis=1)
+                       for t in range(T)])           # (T, n, n)
+        taps4 = R.reshape(T, n_groups, gsize, n)
+        iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (n_groups, n, p_pad), 1)
+        E_b = (iota3 == pm[:, None, :]).astype(mm_dtype)
+        U = jax.lax.dot_general(
+            taps4.astype(mm_dtype), E_b,
+            dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec)                           # (G, T, gsize, p_pad)
+        W4 = w.reshape(T, n_groups, gsize, p_pad).astype(jnp.float32)
+        return jnp.sum(W4 * jnp.transpose(U, (1, 0, 2, 3)),
+                       axis=(0, 1, 2))
     acc = jnp.zeros((1, p_pad), jnp.float32)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
     for g in range(n_groups):
@@ -85,19 +100,41 @@ def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
         wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
         acc = acc + jnp.sum(wg.astype(jnp.float32) * U, axis=0,
                             keepdims=True)
-    o_ref[a, :] = acc[0]
+    return acc[0]
 
 
-def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
-                f32_exact):
+def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
+                f32_exact, batched=False):
     a = pl.program_id(0)
-    p_pad = w_ref.shape[3]
+    xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
+    o_ref[a, :] = _fwd_stage(xs, w_ref[0], p_ref[0], n=n,
+                             n_groups=n_groups, T=T, f32_exact=f32_exact,
+                             batched=batched)
+
+
+def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
+    """Sinogram row -> sheared-image contribution (exact transpose of
+    ``_fwd_stage``); same batched/loop duality."""
+    p_pad = w.shape[2]
     gsize = n // n_groups
     mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if f32_exact else None
-    y = y_ref[a, :].astype(jnp.float32)  # (p_pad,)
-    w = w_ref[0]
-    pm = p_ref[0]
+    if batched:
+        iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (n_groups, p_pad, n), 2)
+        EtB = (iota3 == pm[:, :, None]).astype(mm_dtype)
+        W4 = w.reshape(T, n_groups, gsize, p_pad).astype(jnp.float32)
+        Z4 = W4 * y[None, None, None, :]
+        U = jax.lax.dot_general(
+            Z4.astype(mm_dtype), EtB,
+            dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec)                           # (G, T, gsize, n)
+        Ut = jnp.transpose(U, (1, 0, 2, 3))           # (T, G, gsize, n)
+        acc = Ut[0]
+        for t in range(1, T):
+            acc = acc + jnp.roll(Ut[t], t, axis=2)
+        return acc.reshape(n, n)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
     blocks = []
     for g in range(n_groups):
@@ -113,7 +150,15 @@ def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
         for t in range(1, T):
             blk = blk + jnp.roll(U[t], t, axis=1)
         blocks.append(blk)
-    xs_adj = jnp.concatenate(blocks, axis=0)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
+                f32_exact, batched=False):
+    a = pl.program_id(0)
+    y = y_ref[a, :].astype(jnp.float32)  # (p_pad,)
+    xs_adj = _adj_stage(y, w_ref[0], p_ref[0], n=n, n_groups=n_groups, T=T,
+                        f32_exact=f32_exact, batched=batched)
     img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
 
     @pl.when(a == 0)
@@ -125,12 +170,13 @@ def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
         o_ref[...] = o_ref[...] + img
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _fwd_call(X, W, S, Pm, n_groups, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_groups", "interpret", "batched"))
+def _fwd_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
     na, T, n, p_pad = W.shape
     kern = functools.partial(
         _fwd_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32)
+        f32_exact=W.dtype == jnp.float32, batched=batched)
     return pl.pallas_call(
         kern,
         grid=(na,),
@@ -149,12 +195,13 @@ def _fwd_call(X, W, S, Pm, n_groups, interpret=False):
     )(W, S.reshape(na, n, 1), Pm, X)
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _adj_call(Y, W, S, Pm, n_groups, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_groups", "interpret", "batched"))
+def _adj_call(Y, W, S, Pm, n_groups, interpret=False, batched=False):
     na, T, n, p_pad = W.shape
     kern = functools.partial(
         _adj_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32)
+        f32_exact=W.dtype == jnp.float32, batched=batched)
     return pl.pallas_call(
         kern,
         grid=(na,),
@@ -174,7 +221,7 @@ def _adj_call(Y, W, S, Pm, n_groups, interpret=False):
 
 
 def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
-                f32_exact):
+                f32_exact, batched=False):
     """Fused A^T A per angle: forward stages into a register-resident
     sinogram row, immediately back-projected — the weight slab ``W`` is
     streamed from HBM ONCE per normal-equations apply instead of once for
@@ -182,49 +229,11 @@ def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
     (``krylov.cgls_normal``) halves the dominant HBM stream per iteration.
     """
     a = pl.program_id(0)
-    p_pad = w_ref.shape[3]
-    gsize = n // n_groups
-    mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
-    prec = jax.lax.Precision.HIGHEST if f32_exact else None
     xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
-    w = w_ref[0]
-    pm = p_ref[0]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
-
-    # ---- forward: y_a = sum_g sum_{t,i} W * (taps_g @ E_g) -------------
-    acc = jnp.zeros((1, p_pad), jnp.float32)
-    for g in range(n_groups):
-        E = (iota_c == pm[g, :][None, :]).astype(mm_dtype)
-        xg = xs[g * gsize:(g + 1) * gsize, :]
-        taps = jnp.concatenate(
-            [xg if t == 0 else jnp.roll(xg, -t, axis=1)
-             for t in range(T)], axis=0)
-        U = jax.lax.dot_general(
-            taps.astype(mm_dtype), E,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
-        acc = acc + jnp.sum(wg.astype(jnp.float32) * U, axis=0,
-                            keepdims=True)
-    y = acc[0]
-
-    # ---- adjoint of the same angle on the in-register sinogram row -----
-    iota_ct = jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
-    blocks = []
-    for g in range(n_groups):
-        Et = (iota_ct == pm[g, :][:, None]).astype(mm_dtype)
-        wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
-        Z = wg.astype(jnp.float32) * y[None, :]
-        U = jax.lax.dot_general(
-            Z.astype(mm_dtype), Et,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).reshape(T, gsize, n)
-        blk = U[0]
-        for t in range(1, T):
-            blk = blk + jnp.roll(U[t], t, axis=1)
-        blocks.append(blk)
-    xs_adj = jnp.concatenate(blocks, axis=0)
+    y = _fwd_stage(xs, w_ref[0], p_ref[0], n=n, n_groups=n_groups, T=T,
+                   f32_exact=f32_exact, batched=batched)
+    xs_adj = _adj_stage(y, w_ref[0], p_ref[0], n=n, n_groups=n_groups,
+                        T=T, f32_exact=f32_exact, batched=batched)
     img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
 
     @pl.when(a == 0)
@@ -236,12 +245,13 @@ def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
         o_ref[...] = o_ref[...] + img
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _ata_call(X, W, S, Pm, n_groups, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_groups", "interpret", "batched"))
+def _ata_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
     na, T, n, p_pad = W.shape
     kern = functools.partial(
         _ata_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32)
+        f32_exact=W.dtype == jnp.float32, batched=batched)
     return pl.pallas_call(
         kern,
         grid=(na,),
@@ -260,9 +270,18 @@ def _ata_call(X, W, S, Pm, n_groups, interpret=False):
     )(W, S.reshape(na, n, 1), Pm, X)
 
 
-def banded_normal_apply_pallas(op, v, interpret: bool = False):
+def _batched_default():
+    """Per-group loop vs one G-batched dot_general (TRIPS_TPU_BANDED_BATCHED
+    toggles for experiments; the loop is the measured default)."""
+    return os.environ.get("TRIPS_TPU_BANDED_BATCHED", "0") == "1"
+
+
+def banded_normal_apply_pallas(op, v, interpret: bool = False,
+                               batched: bool | None = None):
     """x -> A^T A x with one fused kernel pass per drive group (the weight
     stream is read once; the per-angle sinogram never leaves the core)."""
+    if batched is None:
+        batched = _batched_default()
     n = op.nx
     X = v.reshape(n, n).astype(jnp.float32)
     img = jnp.zeros((n, n), jnp.float32)
@@ -272,7 +291,8 @@ def banded_normal_apply_pallas(op, v, interpret: bool = False):
         if not W.size:
             continue
         contrib = _ata_call(X.T if is_cols else X, W, S, jnp.mod(P, n),
-                            op.n_groups, interpret=interpret)
+                            op.n_groups, interpret=interpret,
+                            batched=batched)
         img = img + (contrib.T if is_cols else contrib)
     return img.reshape(-1).astype(v.dtype)
 
@@ -288,7 +308,10 @@ def pallas_supported(op) -> bool:
     return True
 
 
-def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False):
+def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False,
+                        batched: bool | None = None):
+    if batched is None:
+        batched = _batched_default()
     n, p = op.nx, op.det_count
     na = op.shape[0] // p
     groups = (
@@ -302,7 +325,8 @@ def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False):
             if not W.size:
                 continue
             yg = _fwd_call(X.T if is_cols else X, W, S, jnp.mod(P, n),
-                           op.n_groups, interpret=interpret)
+                           op.n_groups, interpret=interpret,
+                           batched=batched)
             y = y.at[jnp.asarray(aidx)].set(yg[:, :p])
         return y.reshape(-1).astype(v.dtype)
     Y = v.reshape(na, p).astype(jnp.float32)
@@ -313,6 +337,6 @@ def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False):
         p_pad = W.shape[3]
         Yg = jnp.pad(Y[jnp.asarray(aidx)], ((0, 0), (0, p_pad - p)))
         contrib = _adj_call(Yg, W, S, jnp.mod(P, n), op.n_groups,
-                            interpret=interpret)
+                            interpret=interpret, batched=batched)
         img = img + (contrib.T if is_cols else contrib)
     return img.reshape(-1).astype(v.dtype)
