@@ -39,10 +39,21 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _vmem_limit(W):
+    """Scoped-VMEM request: W slab double-buffered + stage intermediates.
+    The compiler default (16 MB) rejects the larger packs (g16 bf16 T=26,
+    f32) even though they fit physical VMEM; ask for what the kernel
+    actually needs, capped well under the hardware budget."""
+    block = int(np.prod(W.shape[1:])) * W.dtype.itemsize
+    return int(min(100 * 2**20, 3 * block + 24 * 2**20))
 
 
 def _nbits(n):
@@ -180,6 +191,8 @@ def _fwd_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
     return pl.pallas_call(
         kern,
         grid=(na,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(W)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -205,6 +218,8 @@ def _adj_call(Y, W, S, Pm, n_groups, interpret=False, batched=False):
     return pl.pallas_call(
         kern,
         grid=(na,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(W)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -255,6 +270,8 @@ def _ata_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
     return pl.pallas_call(
         kern,
         grid=(na,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(W)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
