@@ -91,7 +91,8 @@ class BandedProjector(LinearOperator):
 
     def __init__(self, W_rows, shift_rows, P_rows, angles_rows,
                  W_cols, shift_cols, P_cols, angles_cols,
-                 shape, nx, p, n_groups, nnz, prefer_pallas=True):
+                 shape, nx, p, n_groups, nnz, prefer_pallas=True,
+                 batched_groups=False):
         # *_rows: angles driven along image rows; *_cols: transposed drive.
         # W_* layout: (na_g, T, n, p_pad) with the detector lane axis padded
         # to a multiple of 128 (zero weights past det_count) so the Pallas
@@ -110,10 +111,14 @@ class BandedProjector(LinearOperator):
         self.n_groups = n_groups
         self.nnz = nnz
         self.prefer_pallas = prefer_pallas
+        # one G-batched dot_general per stage instead of the per-group
+        # loop (kernel-level toggle; arithmetic identical — test_banded)
+        self.batched_groups = batched_groups
 
     @classmethod
     def from_scipy_fan(cls, A, nx, views, angles=None, n_groups=64,
-                       dtype=None, lane_pad=128, prefer_pallas=True):
+                       dtype=None, lane_pad=128, prefer_pallas=True,
+                       batched_groups=False):
         """Pack an angle-major fan/parallel matrix (rows = a*p + d)."""
         angles = (np.linspace(0, np.pi, views, endpoint=False)
                   if angles is None else np.asarray(angles))
@@ -163,7 +168,8 @@ class BandedProjector(LinearOperator):
                    jnp.asarray(Wc), jnp.asarray(Sc), jnp.asarray(Pc),
                    idx[False],
                    A.shape, nx, p, n_groups, A.nnz,
-                   prefer_pallas=prefer_pallas)
+                   prefer_pallas=prefer_pallas,
+                   batched_groups=batched_groups)
 
     @property
     def T_rows(self):
@@ -269,7 +275,7 @@ register_op(
     BandedProjector,
     ["W_rows", "shift_rows", "P_rows", "W_cols", "shift_cols", "P_cols"],
     ["_angles_rows", "_angles_cols", "shape", "nx", "det_count", "n_groups",
-     "nnz"],
+     "nnz", "prefer_pallas", "batched_groups"],
 )
 
 

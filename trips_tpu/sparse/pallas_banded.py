@@ -16,7 +16,9 @@ def banded_apply(op, v, transpose: bool):
         from .pallas_banded_kernel import banded_apply_pallas, pallas_supported
 
         if pallas_supported(op):
-            return banded_apply_pallas(op, v, transpose)
+            return banded_apply_pallas(
+                op, v, transpose,
+                batched=getattr(op, "batched_groups", False) or None)
     return op.rmatvec_xla(v) if transpose else op.matvec_xla(v)
 
 
@@ -28,5 +30,7 @@ def banded_normal_apply(op, v):
                                            pallas_supported)
 
         if pallas_supported(op):
-            return banded_normal_apply_pallas(op, v)
+            return banded_normal_apply_pallas(
+                op, v,
+                batched=getattr(op, "batched_groups", False) or None)
     return op.rmatvec_xla(op.matvec_xla(v))

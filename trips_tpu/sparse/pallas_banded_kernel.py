@@ -82,20 +82,25 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
     mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if f32_exact else None
     if batched:
+        # Mosaic's tpu.matmul needs batch dims at EQUAL positions: use a
+        # clean 3-D (G, M, K) x (G, K, N) batched contraction.
         R = jnp.stack([xs if t == 0 else jnp.roll(xs, -t, axis=1)
                        for t in range(T)])           # (T, n, n)
-        taps4 = R.reshape(T, n_groups, gsize, n)
+        tapsB = jnp.transpose(
+            R.reshape(T, n_groups, gsize, n),
+            (1, 0, 2, 3)).reshape(n_groups, T * gsize, n)
         iota3 = jax.lax.broadcasted_iota(
             jnp.int32, (n_groups, n, p_pad), 1)
         E_b = (iota3 == pm[:, None, :]).astype(mm_dtype)
         U = jax.lax.dot_general(
-            taps4.astype(mm_dtype), E_b,
-            dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+            tapsB.astype(mm_dtype), E_b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=prec)                           # (G, T, gsize, p_pad)
-        W4 = w.reshape(T, n_groups, gsize, p_pad).astype(jnp.float32)
-        return jnp.sum(W4 * jnp.transpose(U, (1, 0, 2, 3)),
-                       axis=(0, 1, 2))
+            precision=prec)                           # (G, T*gsize, p_pad)
+        Wb = jnp.transpose(
+            w.reshape(T, n_groups, gsize, p_pad),
+            (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
+        return jnp.sum(Wb.astype(jnp.float32) * U, axis=(0, 1))
     acc = jnp.zeros((1, p_pad), jnp.float32)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
     for g in range(n_groups):
@@ -134,14 +139,17 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
         iota3 = jax.lax.broadcasted_iota(
             jnp.int32, (n_groups, p_pad, n), 2)
         EtB = (iota3 == pm[:, :, None]).astype(mm_dtype)
-        W4 = w.reshape(T, n_groups, gsize, p_pad).astype(jnp.float32)
-        Z4 = W4 * y[None, None, None, :]
+        Wb = jnp.transpose(
+            w.reshape(T, n_groups, gsize, p_pad),
+            (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
+        Zb = Wb.astype(jnp.float32) * y[None, None, :]
         U = jax.lax.dot_general(
-            Z4.astype(mm_dtype), EtB,
-            dimension_numbers=(((3,), (1,)), ((1,), (0,))),
+            Zb.astype(mm_dtype), EtB,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=prec)                           # (G, T, gsize, n)
-        Ut = jnp.transpose(U, (1, 0, 2, 3))           # (T, G, gsize, n)
+            precision=prec)                           # (G, T*gsize, n)
+        Ut = jnp.transpose(
+            U.reshape(n_groups, T, gsize, n), (1, 0, 2, 3))
         acc = Ut[0]
         for t in range(1, T):
             acc = acc + jnp.roll(Ut[t], t, axis=2)
