@@ -289,3 +289,30 @@ def test_batched_frame_solve_dp(rng):
     X = np.asarray(X)
     assert X.shape == (nt, nx * ny)
     assert np.isfinite(X).all()
+
+
+def test_sharded_banded_normal_matvec(rng, mesh8):
+    """Fused normal apply on the angle-sharded projector (local A^T A per
+    slab + one psum) matches scipy A.T @ (A @ x), and cgls_normal over the
+    sharded operator reproduces the standard sharded CGLS solve."""
+    from trips_tpu.krylov import cgls, cgls_normal
+    from trips_tpu.parallel import ShardedBandedProjector
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.sparse import BandedProjector
+
+    nx, views = 32, 16
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op = BandedProjector.from_scipy_fan(A, nx, views, n_groups=8)
+    sop = ShardedBandedProjector.from_banded(op, mesh8)
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    got = np.asarray(sop.normal_matvec(jnp.asarray(x)))
+    ref = A.T @ (A @ x)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    xt = rng.random(nx * nx).astype(np.float32)
+    b = jnp.asarray(A @ xt)
+    x0 = jnp.zeros(sop.shape[1], jnp.float32)
+    x_n, _ = cgls_normal(sop, b, x0, 20, 0.0)
+    x_s, _ = cgls(sop, b, x0, 20, 0.0)
+    d = np.linalg.norm(np.asarray(x_n) - np.asarray(x_s))
+    assert d < 2e-2 * np.linalg.norm(np.asarray(x_s)), d

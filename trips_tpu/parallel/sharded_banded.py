@@ -127,6 +127,41 @@ class ShardedBandedProjector(LinearOperator):
             y = y.at[jnp.asarray(aidx)].set(yg[:na_real, :p])
         return y.reshape(-1).astype(x.dtype)
 
+    def normal_matvec(self, x):
+        """x -> A^T A x with the fused per-angle kernel on each chip's
+        local angle slab and ONE psum over the mesh axis — the same
+        single-weight-stream economy as the single-chip ``cgls_normal``
+        path, with no extra collectives (forward needs none; the adjoint
+        psum is the only cross-chip traffic, n*n floats)."""
+        n = self.nx
+        X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
+        ax = self.axis
+        ng = self.n_groups
+
+        def local_ata(W, Sf, Pm, X):
+            if _use_pallas():
+                from ..sparse.pallas_banded_kernel import _ata_call
+
+                c = _ata_call(X, W, Sf, Pm, ng)
+            else:
+                y = apply_group_xla(n, ng, X, W, Sf, Pm, False, wrap=True)
+                c = apply_group_xla(n, ng, None, W, Sf, Pm, True,
+                                    y_rows=y, wrap=True)
+            return jax.lax.psum(c, ax)
+
+        f = jax.shard_map(
+            local_ata, mesh=self.mesh,
+            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
+                      PartitionSpec(ax), PartitionSpec()),
+            out_specs=PartitionSpec())
+        img = jnp.zeros((n, n), jnp.float32)
+        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
+            if na_real == 0:
+                continue
+            c = f(W, Sf, Pm, X0.T if is_cols else X0)
+            img = img + (c.T if is_cols else c)
+        return img.reshape(-1).astype(x.dtype)
+
     def rmatvec(self, yv):
         n, p = self.nx, self.det_count
         Y = jnp.reshape(yv, (-1, p)).astype(jnp.float32)
