@@ -341,6 +341,15 @@ class BatchedBlockDiagOperator(LinearOperator):
         X = jax.vmap(self.op.rmatvec)(Y)
         return X.reshape(-1)
 
+    def normal_matvec(self, x):
+        """Per-frame A^T A, vmapped — picks up the base operator's fused
+        normal apply (e.g. the banded single-stream kernel) when it has
+        one, so ``cgls_normal`` works frame-batched."""
+        X = x.reshape(self.nt, self.op.shape[1])
+        fn = getattr(self.op, "normal_matvec",
+                     lambda v: self.op.rmatvec(self.op.matvec(v)))
+        return jax.vmap(fn)(X).reshape(-1)
+
     def matmat(self, M):
         k = M.shape[1]
         X = M.reshape(self.nt, self.op.shape[1], k)
