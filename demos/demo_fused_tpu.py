@@ -109,6 +109,21 @@ def main():
     print(f"fused_hyb_lsqr[gcv] rel_err={relerr(x, x_true):.4f}  "
           f"lam={float(lams[-1]):.3e}")
 
+    # champion TPU path (BASELINE.md r3): CG on the normal equations with
+    # the fused A^T A kernel — the stored band streams from HBM once per
+    # iteration instead of once per projection
+    from trips_tpu.krylov import cgls, cgls_normal
+
+    x0 = jnp.zeros(A.shape[1], jnp.float32)
+    for name, fn in (("cgls", cgls), ("cgls_normal", cgls_normal)):
+        xx, _ = fn(A, bj, x0, max(args.iters, 20), 0.0)
+        float(jnp.linalg.norm(xx))  # compile
+        t0 = time.perf_counter()
+        xx, _ = fn(A, bj, x0, max(args.iters, 20), 0.0)
+        float(jnp.linalg.norm(xx))
+        print(f"{name:19s} rel_err={relerr(xx, x_true):.4f}  "
+              f"run={1e3 * (time.perf_counter() - t0):.0f}ms")
+
 
 if __name__ == "__main__":
     main()
