@@ -1,5 +1,7 @@
-from .ell import EllOperator
-from .bsr import BsrOperator
 from .banded import BandedProjector
+from .bsr import BsrOperator
+from .dynamic_banded import DynamicBandedOperator
+from .ell import EllOperator
 
-__all__ = ["EllOperator", "BsrOperator", "BandedProjector"]
+__all__ = ["EllOperator", "BsrOperator", "BandedProjector",
+           "DynamicBandedOperator"]
