@@ -43,7 +43,8 @@ class ShardedBandedProjector(LinearOperator):
     """BandedProjector with both drive groups angle-sharded over a 1-D
     mesh axis."""
 
-    def __init__(self, groups, shape, nx, p, n_groups, nnz, mesh, axis):
+    def __init__(self, groups, shape, nx, p, n_groups, nnz, mesh, axis,
+                 n_pad=None):
         # groups: ((W, S, Pm, aidx, na_real, is_cols), ...) — arrays
         # sharded on dim 0; aidx host tuple of global angle ids
         (self.W_rows, self.shift_rows, self.P_rows,
@@ -52,6 +53,7 @@ class ShardedBandedProjector(LinearOperator):
          self._angles_cols, self._na_cols, _) = groups[1]
         self.shape = tuple(shape)
         self.nx = nx
+        self.n_pad = nx if n_pad is None else n_pad
         self.det_count = p
         self.n_groups = n_groups
         self.nnz = nnz
@@ -61,7 +63,7 @@ class ShardedBandedProjector(LinearOperator):
     @classmethod
     def from_banded(cls, op: BandedProjector, mesh, axis: str = "rows"):
         S_dev = mesh.shape[axis]
-        n = op.nx
+        n = op.n_pad
         sh = lambda a: jax.device_put(
             jnp.asarray(a),
             NamedSharding(mesh, PartitionSpec(
@@ -84,8 +86,8 @@ class ShardedBandedProjector(LinearOperator):
         g_rows = prep(op.W_rows, op.shift_rows, op.P_rows, op._angles_rows)
         g_cols = prep(op.W_cols, op.shift_cols, op.P_cols, op._angles_cols)
         return cls((g_rows[:5] + (False,), g_cols[:5] + (True,)),
-                   op.shape, n, op.det_count, op.n_groups, op.nnz,
-                   mesh, axis)
+                   op.shape, op.nx, op.det_count, op.n_groups, op.nnz,
+                   mesh, axis, n_pad=op.n_pad)
 
     @property
     def stored_bytes(self):
@@ -102,8 +104,11 @@ class ShardedBandedProjector(LinearOperator):
 
     def matvec(self, x):
         n, p = self.nx, self.det_count
+        npd = self.n_pad
         na_tot = self.shape[0] // p
         X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
+        if npd != n:
+            X0 = jnp.zeros((npd, npd), X0.dtype).at[:n, :n].set(X0)
         y = jnp.zeros((na_tot, p), jnp.float32)
         ax = self.axis
         ng = self.n_groups
@@ -113,7 +118,7 @@ class ShardedBandedProjector(LinearOperator):
                 from ..sparse.pallas_banded_kernel import _fwd_call
 
                 return _fwd_call(X, W, Sf, Pm, ng)
-            return apply_group_xla(n, ng, X, W, Sf, Pm, False, wrap=True)
+            return apply_group_xla(npd, ng, X, W, Sf, Pm, False, wrap=True)
 
         f = jax.shard_map(
             local_fwd, mesh=self.mesh,
@@ -134,7 +139,10 @@ class ShardedBandedProjector(LinearOperator):
         path, with no extra collectives (forward needs none; the adjoint
         psum is the only cross-chip traffic, n*n floats)."""
         n = self.nx
+        npd = self.n_pad
         X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
+        if npd != n:
+            X0 = jnp.zeros((npd, npd), X0.dtype).at[:n, :n].set(X0)
         ax = self.axis
         ng = self.n_groups
 
@@ -144,8 +152,9 @@ class ShardedBandedProjector(LinearOperator):
 
                 c = _ata_call(X, W, Sf, Pm, ng)
             else:
-                y = apply_group_xla(n, ng, X, W, Sf, Pm, False, wrap=True)
-                c = apply_group_xla(n, ng, None, W, Sf, Pm, True,
+                y = apply_group_xla(npd, ng, X, W, Sf, Pm, False,
+                                    wrap=True)
+                c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
                                     y_rows=y, wrap=True)
             return jax.lax.psum(c, ax)
 
@@ -154,18 +163,19 @@ class ShardedBandedProjector(LinearOperator):
             in_specs=(PartitionSpec(ax), PartitionSpec(ax),
                       PartitionSpec(ax), PartitionSpec()),
             out_specs=PartitionSpec())
-        img = jnp.zeros((n, n), jnp.float32)
+        img = jnp.zeros((npd, npd), jnp.float32)
         for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
             if na_real == 0:
                 continue
             c = f(W, Sf, Pm, X0.T if is_cols else X0)
             img = img + (c.T if is_cols else c)
-        return img.reshape(-1).astype(x.dtype)
+        return img[:n, :n].reshape(-1).astype(x.dtype)
 
     def rmatvec(self, yv):
         n, p = self.nx, self.det_count
+        npd = self.n_pad
         Y = jnp.reshape(yv, (-1, p)).astype(jnp.float32)
-        img = jnp.zeros((n, n), jnp.float32)
+        img = jnp.zeros((npd, npd), jnp.float32)
         ax = self.axis
         ng = self.n_groups
 
@@ -175,7 +185,7 @@ class ShardedBandedProjector(LinearOperator):
 
                 c = _adj_call(Yg, W, Sf, Pm, ng)
             else:
-                c = apply_group_xla(n, ng, None, W, Sf, Pm, True,
+                c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
                                     y_rows=Yg, wrap=True)
             return jax.lax.psum(c, ax)
 
@@ -192,12 +202,12 @@ class ShardedBandedProjector(LinearOperator):
                          ((0, na_pad - na_real), (0, p_pad - p)))
             c = f(W, Sf, Pm, Yg)
             img = img + (c.T if is_cols else c)
-        return img.reshape(-1).astype(yv.dtype)
+        return img[:n, :n].reshape(-1).astype(yv.dtype)
 
 
 register_op(
     ShardedBandedProjector,
     ["W_rows", "shift_rows", "P_rows", "W_cols", "shift_cols", "P_cols"],
     ["_angles_rows", "_na_rows", "_angles_cols", "_na_cols", "shape", "nx",
-     "det_count", "n_groups", "nnz", "mesh", "axis"],
+     "det_count", "n_groups", "nnz", "mesh", "axis", "n_pad"],
 )

@@ -40,12 +40,15 @@ import numpy as np
 from ..core.linop import LinearOperator, register_op
 
 
-def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
+def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups, n_pad=None):
     """Pack one angle's (detector, line, column, value) triplets.
 
-    Returns (W (n, T_a, p), shift (n,), P (n_groups, p)) with
-    column = shift[i] + P[g(i), d] + t.
+    Returns (W (T_a, n_pad, p), shift (n_pad,), P (n_groups, p)) with
+    column = shift[i] + P[g(i), d] + t. ``n_pad >= n`` pads the line/roll
+    axis to a lane-aligned size (padded lines carry zero weight, so the
+    kernel's mod-n_pad wraps stay exact: true columns never wrap).
     """
+    n_pad = n if n_pad is None else n_pad
     # minimum observed column per (line, detector): cmin[i, d]
     cmin = np.full((n, p), np.iinfo(np.int32).max, np.int64)
     np.minimum.at(cmin, (coo_i, coo_d), coo_c)
@@ -53,7 +56,7 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
 
     # per-line integer shear: the line's median start (dealiases the
     # per-line offset; any per-line constant works)
-    shift = np.zeros(n, np.int64)
+    shift = np.zeros(n_pad, np.int64)
     have_i = have_id.any(axis=1)
     for i in np.nonzero(have_i)[0]:
         shift[i] = int(np.median(cmin[i, have_id[i]]))
@@ -62,9 +65,10 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
     # lines of (cmin - shift). This absorbs the projective (Moebius)
     # curvature of the start positions exactly — only the within-group
     # slope variation is left for the tap axis.
-    gsize = -(-n // n_groups)
+    gsize = n_pad // n_groups
     g_of = np.arange(n) // gsize
-    rel = np.where(have_id, cmin - shift[:, None], np.iinfo(np.int32).max)
+    rel = np.where(have_id, cmin - shift[:n, None],
+                   np.iinfo(np.int32).max)
     P = np.full((n_groups, p), np.iinfo(np.int32).max, np.int64)
     np.minimum.at(P, (g_of[:, None].repeat(p, 1), np.arange(p)[None, :]
                       .repeat(n, 0)), rel)
@@ -81,7 +85,7 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups):
     t = coo_c - shift[coo_i] - P[g_of[coo_i], coo_d]
     assert (t >= 0).all()
     T_a = int(t.max()) + 1 if len(t) else 1
-    W = np.zeros((T_a, n, p), np.float32)
+    W = np.zeros((T_a, n_pad, p), np.float32)
     W[t, coo_i, coo_d] = coo_v
     return W, shift.astype(np.int32), P.astype(np.int32)
 
@@ -92,7 +96,7 @@ class BandedProjector(LinearOperator):
     def __init__(self, W_rows, shift_rows, P_rows, angles_rows,
                  W_cols, shift_cols, P_cols, angles_cols,
                  shape, nx, p, n_groups, nnz, prefer_pallas=True,
-                 batched_groups=False):
+                 batched_groups=False, n_pad=None):
         # *_rows: angles driven along image rows; *_cols: transposed drive.
         # W_* layout: (na_g, T, n, p_pad) with the detector lane axis padded
         # to a multiple of 128 (zero weights past det_count) so the Pallas
@@ -107,6 +111,9 @@ class BandedProjector(LinearOperator):
         self._angles_cols = tuple(angles_cols)
         self.shape = tuple(shape)
         self.nx = nx
+        # line/roll-axis size: lane-aligned padding of nx (padded lines
+        # carry zero weight; rolls and predictors work mod n_pad)
+        self.n_pad = nx if n_pad is None else n_pad
         self.det_count = p
         self.n_groups = n_groups
         self.nnz = nnz
@@ -125,6 +132,14 @@ class BandedProjector(LinearOperator):
         coo = A.tocoo()
         p = A.shape[0] // len(angles)
         n = nx
+        # lane-align the roll axis so every grid size gets the Pallas
+        # kernel (ROADMAP r3 item 3); padded lines are zero-weight
+        n_pad = -(-n // 128) * 128
+        if n_pad % n_groups:
+            raise ValueError(
+                f"n_groups={n_groups} must divide the padded grid "
+                f"{n_pad} (nx={n} padded to the next multiple of 128); "
+                f"pick n_groups from the divisors of {n_pad}.")
         drive_rows = np.abs(np.cos(angles)) >= np.abs(np.sin(angles))
         packs = {True: [], False: []}
         idx = {True: [], False: []}
@@ -139,15 +154,15 @@ class BandedProjector(LinearOperator):
             c = j_img[m] if dr else i_img[m]
             packs[dr].append(
                 _pack_angle(d_of[m], line, c, coo.data[m].astype(np.float32),
-                            n, p, n_groups))
+                            n, p, n_groups, n_pad=n_pad))
             idx[dr].append(a)
 
         p_pad = -(-p // lane_pad) * lane_pad
 
         def stack(group):
             if not group:
-                z = np.zeros((0, n), np.int32)
-                return (np.zeros((0, 1, n, p_pad), np.float32), z,
+                z = np.zeros((0, n_pad), np.int32)
+                return (np.zeros((0, 1, n_pad, p_pad), np.float32), z,
                         np.zeros((0, n_groups, p_pad), np.int32))
             T = max(w.shape[0] for w, _, _ in group)
             W = np.stack([np.pad(w, ((0, T - w.shape[0]), (0, 0),
@@ -169,7 +184,7 @@ class BandedProjector(LinearOperator):
                    idx[False],
                    A.shape, nx, p, n_groups, A.nnz,
                    prefer_pallas=prefer_pallas,
-                   batched_groups=batched_groups)
+                   batched_groups=batched_groups, n_pad=n_pad)
 
     @property
     def T_rows(self):
@@ -192,7 +207,7 @@ class BandedProjector(LinearOperator):
 
         nx, p = self.nx, self.det_count
         n = nx
-        gsize = -(-n // self.n_groups)
+        gsize = self.n_pad // self.n_groups
         rows, cols, vals = [], [], []
         for W, S, P, aidx, dr in (
                 (self.W_rows, self.shift_rows, self.P_rows,
@@ -217,8 +232,15 @@ class BandedProjector(LinearOperator):
 
     # ---- XLA applies (oracle / CPU fallback) ----------------------------
     def _apply_group_xla(self, X, W, S, P, transpose, y_rows=None):
-        return apply_group_xla(self.nx, self.n_groups, X, W, S, P,
+        return apply_group_xla(self.n_pad, self.n_groups, X, W, S, P,
                                transpose, y_rows=y_rows)
+
+    def _embed(self, X):
+        """(nx, nx) image -> (n_pad, n_pad) padded roll space."""
+        n, npd = self.nx, self.n_pad
+        if npd == n:
+            return X
+        return jnp.zeros((npd, npd), X.dtype).at[:n, :n].set(X)
 
     def matvec(self, x):
         from .pallas_banded import banded_apply
@@ -242,7 +264,7 @@ class BandedProjector(LinearOperator):
 
     def matvec_xla(self, x):
         n, p = self.nx, self.det_count
-        X = x.reshape(n, n)
+        X = self._embed(x.reshape(n, n))
         na = len(self._angles_rows) + len(self._angles_cols)
         y = jnp.zeros((na, p), jnp.promote_types(x.dtype, jnp.float32))
         if self.W_rows.size:
@@ -259,7 +281,7 @@ class BandedProjector(LinearOperator):
         n, p = self.nx, self.det_count
         Y = y.reshape(-1, p)
         acc = jnp.promote_types(y.dtype, jnp.float32)
-        img = jnp.zeros((n, n), acc)
+        img = jnp.zeros((self.n_pad, self.n_pad), acc)
         if self.W_rows.size:
             img += self._apply_group_xla(
                 None, self.W_rows, self.shift_rows, self.P_rows, True,
@@ -268,14 +290,14 @@ class BandedProjector(LinearOperator):
             img += self._apply_group_xla(
                 None, self.W_cols, self.shift_cols, self.P_cols, True,
                 y_rows=Y[jnp.asarray(self._angles_cols)]).T
-        return img.reshape(-1).astype(y.dtype)
+        return img[:n, :n].reshape(-1).astype(y.dtype)
 
 
 register_op(
     BandedProjector,
     ["W_rows", "shift_rows", "P_rows", "W_cols", "shift_cols", "P_cols"],
     ["_angles_rows", "_angles_cols", "shape", "nx", "det_count", "n_groups",
-     "nnz", "prefer_pallas", "batched_groups"],
+     "nnz", "prefer_pallas", "batched_groups", "n_pad"],
 )
 
 

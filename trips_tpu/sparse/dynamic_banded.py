@@ -39,7 +39,8 @@ class DynamicBandedOperator(LinearOperator):
     """Block-diag over time of per-frame banded projectors with
     frame-varying geometry; applies vmapped over the frame axis."""
 
-    def __init__(self, groups, shape, nx, p, views, n_groups, nnz, nt):
+    def __init__(self, groups, shape, nx, p, views, n_groups, nnz, nt,
+                 n_pad=None):
         # groups: two tuples (W, S, Pm, aidx) stacked over frames —
         # W (nt, na, T, n, p_pad), S (nt, na, n), Pm (nt, na, G, p_pad)
         # int32 mod-n, aidx (nt, na) with out-of-range pad = views
@@ -49,6 +50,7 @@ class DynamicBandedOperator(LinearOperator):
             groups[1]
         self.shape = tuple(shape)
         self.nx = nx
+        self.n_pad = nx if n_pad is None else n_pad
         self.det_count = p
         self.views = views
         self.n_groups = n_groups
@@ -70,7 +72,7 @@ class DynamicBandedOperator(LinearOperator):
         p = ops[0].det_count
         p_pad = max((op.W_rows.shape[3] if op.W_rows.size else
                      op.W_cols.shape[3]) for op in ops)
-        n = nx
+        n = ops[0].n_pad  # lane-aligned roll-space size (>= nx)
 
         def stack_group(get):
             na_max = max(len(get(op)[3]) for op in ops)
@@ -112,7 +114,7 @@ class DynamicBandedOperator(LinearOperator):
         ncols = nt * nx * nx
         nnz = sum(op.nnz for op in ops)
         return cls((rows, cols), (m, ncols), nx, p, views, n_groups, nnz,
-                   nt)
+                   nt, n_pad=ops[0].n_pad)
 
     @property
     def stored_bytes(self):
@@ -135,15 +137,15 @@ class DynamicBandedOperator(LinearOperator):
             from .pallas_banded_kernel import _fwd_call
 
             return _fwd_call(X, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.nx, self.n_groups, X, W, S, Pm, False,
-                               wrap=True)
+        return apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
+                               False, wrap=True)
 
     def _adj_frame(self, W, S, Pm, Yg):
         if _use_pallas():
             from .pallas_banded_kernel import _adj_call
 
             return _adj_call(Yg, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.nx, self.n_groups, None, W, S, Pm,
+        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
                                True, y_rows=Yg, wrap=True)
 
     def _ata_frame(self, W, S, Pm, X):
@@ -151,14 +153,22 @@ class DynamicBandedOperator(LinearOperator):
             from .pallas_banded_kernel import _ata_call
 
             return _ata_call(X, W, S, Pm, self.n_groups)
-        y = apply_group_xla(self.nx, self.n_groups, X, W, S, Pm, False,
+        y = apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm, False,
                             wrap=True)
-        return apply_group_xla(self.nx, self.n_groups, None, W, S, Pm,
+        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
                                True, y_rows=y, wrap=True)
+
+    def _embed_frames(self, X):
+        n, npd = self.nx, self.n_pad
+        if npd == n:
+            return X
+        return jnp.zeros((self.nt, npd, npd), X.dtype).at[
+            :, :n, :n].set(X)
 
     def matvec(self, x):
         n, p, v = self.nx, self.det_count, self.views
-        X = x.reshape(self.nt, n, n).astype(jnp.float32)
+        X = self._embed_frames(
+            x.reshape(self.nt, n, n).astype(jnp.float32))
         y = jnp.zeros((self.nt, v, p), jnp.float32)
         for W, S, Pm, aidx, is_cols in self._groups():
             if not W.size:
@@ -181,22 +191,25 @@ class DynamicBandedOperator(LinearOperator):
             Yg = jax.vmap(lambda yy, ai: jnp.take(
                 yy, ai, axis=0, mode="fill", fill_value=0.0))(Y, aidx)
             Yg = jnp.pad(Yg, ((0, 0), (0, 0), (0, p_pad - p)))
-            c = jax.vmap(self._adj_frame)(W, S, Pm, Yg)  # (nt, n, n)
-            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)
+            c = jax.vmap(self._adj_frame)(W, S, Pm, Yg)  # (nt, npd, npd)
+            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
+                :, :n, :n]
         return img.reshape(-1).astype(yv.dtype)
 
     def normal_matvec(self, x):
         """Per-frame fused A^T A (single weight stream) vmapped over
         frames — the champion single-chip economy, frame-batched."""
         n = self.nx
-        X = x.reshape(self.nt, n, n).astype(jnp.float32)
+        X = self._embed_frames(
+            x.reshape(self.nt, n, n).astype(jnp.float32))
         img = jnp.zeros((self.nt, n, n), jnp.float32)
         for W, S, Pm, aidx, is_cols in self._groups():
             if not W.size:
                 continue
             Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
             c = jax.vmap(self._ata_frame)(W, S, Pm, Xg)
-            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)
+            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
+                :, :n, :n]
         return img.reshape(-1).astype(x.dtype)
 
 
@@ -204,5 +217,6 @@ register_op(
     DynamicBandedOperator,
     ["W_rows", "shift_rows", "P_rows", "aidx_rows",
      "W_cols", "shift_cols", "P_cols", "aidx_cols"],
-    ["shape", "nx", "det_count", "views", "n_groups", "nnz", "nt"],
+    ["shape", "nx", "det_count", "views", "n_groups", "nnz", "nt",
+     "n_pad"],
 )

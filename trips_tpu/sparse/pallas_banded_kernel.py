@@ -308,27 +308,41 @@ def banded_normal_apply_pallas(op, v, interpret: bool = False,
     if batched is None:
         batched = _batched_default()
     n = op.nx
-    X = v.reshape(n, n).astype(jnp.float32)
-    img = jnp.zeros((n, n), jnp.float32)
+    npd = getattr(op, "n_pad", n)
+    X = _embed(v.reshape(n, n).astype(jnp.float32), npd)
+    img = jnp.zeros((npd, npd), jnp.float32)
     for W, S, P, is_cols in (
             (op.W_rows, op.shift_rows, op.P_rows, False),
             (op.W_cols, op.shift_cols, op.P_cols, True)):
         if not W.size:
             continue
-        contrib = _ata_call(X.T if is_cols else X, W, S, jnp.mod(P, n),
+        contrib = _ata_call(X.T if is_cols else X, W, S, jnp.mod(P, npd),
                             op.n_groups, interpret=interpret,
                             batched=batched)
         img = img + (contrib.T if is_cols else contrib)
-    return img.reshape(-1).astype(v.dtype)
+    return img[:n, :n].reshape(-1).astype(v.dtype)
+
+
+def _embed(X, npd):
+    """(n, n) image -> (npd, npd) lane-aligned roll space."""
+    n = X.shape[0]
+    if npd == n:
+        return X
+    return jnp.zeros((npd, npd), X.dtype).at[:n, :n].set(X)
 
 
 def pallas_supported(op) -> bool:
-    """Alignment preconditions for the TPU kernel (else: XLA fallback)."""
-    n = op.nx
-    if n % op.n_groups or n % 128:
+    """Alignment preconditions for the TPU kernel (else: XLA fallback).
+
+    The roll axis is the pack-time lane-aligned ``n_pad`` (ROADMAP r3
+    item 3: any grid size packs to a 128-multiple roll space), so the
+    kernel path is available for every grid whose n_pad the group count
+    divides."""
+    npd = getattr(op, "n_pad", op.nx)
+    if npd % op.n_groups or npd % 128:
         return False
     for W in (op.W_rows, op.W_cols):
-        if W.size and W.shape[3] % 128:
+        if W.size and (W.shape[3] % 128 or W.shape[2] != npd):
             return False
     return True
 
@@ -338,30 +352,31 @@ def banded_apply_pallas(op, v, transpose: bool, interpret: bool = False,
     if batched is None:
         batched = _batched_default()
     n, p = op.nx, op.det_count
+    npd = getattr(op, "n_pad", n)
     na = op.shape[0] // p
     groups = (
         (op.W_rows, op.shift_rows, op.P_rows, op._angles_rows, False),
         (op.W_cols, op.shift_cols, op.P_cols, op._angles_cols, True),
     )
     if not transpose:
-        X = v.reshape(n, n).astype(jnp.float32)
+        X = _embed(v.reshape(n, n).astype(jnp.float32), npd)
         y = jnp.zeros((na, p), jnp.float32)
         for W, S, P, aidx, is_cols in groups:
             if not W.size:
                 continue
-            yg = _fwd_call(X.T if is_cols else X, W, S, jnp.mod(P, n),
+            yg = _fwd_call(X.T if is_cols else X, W, S, jnp.mod(P, npd),
                            op.n_groups, interpret=interpret,
                            batched=batched)
             y = y.at[jnp.asarray(aidx)].set(yg[:, :p])
         return y.reshape(-1).astype(v.dtype)
     Y = v.reshape(na, p).astype(jnp.float32)
-    img = jnp.zeros((n, n), jnp.float32)
+    img = jnp.zeros((npd, npd), jnp.float32)
     for W, S, P, aidx, is_cols in groups:
         if not W.size:
             continue
         p_pad = W.shape[3]
         Yg = jnp.pad(Y[jnp.asarray(aidx)], ((0, 0), (0, p_pad - p)))
-        contrib = _adj_call(Yg, W, S, jnp.mod(P, n), op.n_groups,
+        contrib = _adj_call(Yg, W, S, jnp.mod(P, npd), op.n_groups,
                             interpret=interpret, batched=batched)
         img = img + (contrib.T if is_cols else contrib)
-    return img.reshape(-1).astype(v.dtype)
+    return img[:n, :n].reshape(-1).astype(v.dtype)
