@@ -55,11 +55,20 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups, n_pad=None):
     have_id = cmin < np.iinfo(np.int32).max
 
     # per-line integer shear: the line's median start (dealiases the
-    # per-line offset; any per-line constant works)
+    # per-line offset; any per-line constant works). Vectorized median:
+    # sort with +inf sentinels, average the two middle elements of each
+    # row's valid prefix — int(np.median(...)) semantics for the
+    # non-negative columns (floor of the midpoint average).
     shift = np.zeros(n_pad, np.int64)
     have_i = have_id.any(axis=1)
-    for i in np.nonzero(have_i)[0]:
-        shift[i] = int(np.median(cmin[i, have_id[i]]))
+    cnt = have_id.sum(axis=1)
+    vals = np.where(have_id, cmin, np.iinfo(np.int64).max)
+    vals.sort(axis=1)
+    rows = np.arange(n)
+    safe = np.maximum(cnt, 1)
+    lo = vals[rows, (safe - 1) // 2]
+    hi = vals[rows, np.minimum(safe // 2, p - 1)]
+    shift[:n] = np.where(have_i, (lo + hi) // 2, 0)
 
     # nonparametric per-group predictor: P[g, d] = min over the group's
     # lines of (cmin - shift). This absorbs the projective (Moebius)
@@ -85,9 +94,11 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups, n_pad=None):
     t = coo_c - shift[coo_i] - P[g_of[coo_i], coo_d]
     assert (t >= 0).all()
     T_a = int(t.max()) + 1 if len(t) else 1
-    W = np.zeros((T_a, n_pad, p), np.float32)
-    W[t, coo_i, coo_d] = coo_v
-    return W, shift.astype(np.int32), P.astype(np.int32)
+    # return scatter coordinates instead of a materialized W: the caller
+    # fills one preallocated (na, T, n_pad, p_pad) array directly (the
+    # pad->stack->astype copy chain dominated pack time at STEMPO scale)
+    return ((t, coo_i, coo_d, coo_v), T_a, shift.astype(np.int32),
+            P.astype(np.int32))
 
 
 class BandedProjector(LinearOperator):
@@ -147,37 +158,45 @@ class BandedProjector(LinearOperator):
         d_of = (coo.row % p).astype(np.int64)
         i_img = (coo.col // nx).astype(np.int64)
         j_img = (coo.col % nx).astype(np.int64)
+        vals = (coo.data if coo.data.dtype == np.float32
+                else coo.data.astype(np.float32))
+        # csr->coo rows are sorted, so angles are contiguous slices —
+        # avoids one full boolean-mask pass over the nnz per angle
+        sorted_rows = bool(np.all(np.diff(coo.row) >= 0))
+        if sorted_rows:
+            bounds = np.searchsorted(a_of, np.arange(len(angles) + 1))
         for a in range(len(angles)):
-            m = a_of == a
+            m = (slice(bounds[a], bounds[a + 1]) if sorted_rows
+                 else a_of == a)
             dr = bool(drive_rows[a])
             line = i_img[m] if dr else j_img[m]
             c = j_img[m] if dr else i_img[m]
             packs[dr].append(
-                _pack_angle(d_of[m], line, c, coo.data[m].astype(np.float32),
+                _pack_angle(d_of[m], line, c, vals[m],
                             n, p, n_groups, n_pad=n_pad))
             idx[dr].append(a)
 
         p_pad = -(-p // lane_pad) * lane_pad
+        out_dtype = np.float32 if dtype is None else dtype
 
         def stack(group):
             if not group:
                 z = np.zeros((0, n_pad), np.int32)
-                return (np.zeros((0, 1, n_pad, p_pad), np.float32), z,
+                return (np.zeros((0, 1, n_pad, p_pad), out_dtype), z,
                         np.zeros((0, n_groups, p_pad), np.int32))
-            T = max(w.shape[0] for w, _, _ in group)
-            W = np.stack([np.pad(w, ((0, T - w.shape[0]), (0, 0),
-                                     (0, p_pad - p)))
-                          for w, _, _ in group])
-            S = np.stack([s for _, s, _ in group])
+            T = max(T_a for _, T_a, _, _ in group)
+            # single allocation in the target dtype, filled by scatter —
+            # no per-angle W materialization, no pad/stack/astype copies
+            W = np.zeros((len(group), T, n_pad, p_pad), out_dtype)
+            for k, ((t, ii, dd, vv), _, _, _) in enumerate(group):
+                W[k, t, ii, dd] = vv
+            S = np.stack([s for _, _, s, _ in group])
             P = np.stack([np.pad(pp, ((0, 0), (0, p_pad - p)), mode="edge")
-                          for _, _, pp in group])
+                          for _, _, _, pp in group])
             return W, S, P
 
         Wr, Sr, Pr = stack(packs[True])
         Wc, Sc, Pc = stack(packs[False])
-        if dtype is not None:
-            Wr = Wr.astype(dtype)
-            Wc = Wc.astype(dtype)
         return cls(jnp.asarray(Wr), jnp.asarray(Sr), jnp.asarray(Pr),
                    idx[True],
                    jnp.asarray(Wc), jnp.asarray(Sc), jnp.asarray(Pc),
