@@ -53,7 +53,25 @@ def _vmem_limit(W):
     f32) even though they fit physical VMEM; ask for what the kernel
     actually needs, capped well under the hardware budget."""
     block = int(np.prod(W.shape[1:])) * W.dtype.itemsize
-    return int(min(100 * 2**20, 3 * block + 24 * 2**20))
+    # measured: the fused A^T A kernel keeps ~5 slab-equivalents live
+    # (double-buffered W + both stages' f32 intermediates) at STEMPO
+    # scale (T=18, 640x640 slabs)
+    return int(min(110 * 2**20, 5 * block + 24 * 2**20))
+
+
+def _f32_precision():
+    """MXU precision for the f32-exact path's one-hot selection matmuls.
+
+    Each output element of ``taps @ E`` has exactly ONE nonzero term (E is
+    one-hot per column), so there is no accumulation error — the only
+    error source is input splitting. bf16x3 (Precision.HIGH) represents a
+    f32 input exactly across its three splits, so HIGH is bit-faithful
+    here and ~2x cheaper than HIGHEST's deeper pass count. HIGHEST remains
+    the default until the device measurement lands
+    (TRIPS_TPU_F32_SELECT=high to switch)."""
+    if os.environ.get("TRIPS_TPU_F32_SELECT", "highest") == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
 
 
 def _nbits(n):
@@ -80,7 +98,7 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
     p_pad = w.shape[2]
     gsize = n // n_groups
     mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
-    prec = jax.lax.Precision.HIGHEST if f32_exact else None
+    prec = _f32_precision() if f32_exact else None
     if batched:
         # Mosaic's tpu.matmul needs batch dims at EQUAL positions: use a
         # clean 3-D (G, M, K) x (G, K, N) batched contraction.
@@ -134,7 +152,7 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
     p_pad = w.shape[2]
     gsize = n // n_groups
     mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
-    prec = jax.lax.Precision.HIGHEST if f32_exact else None
+    prec = _f32_precision() if f32_exact else None
     if batched:
         iota3 = jax.lax.broadcasted_iota(
             jnp.int32, (n_groups, p_pad, n), 2)
