@@ -59,19 +59,43 @@ def _vmem_limit(W):
     return int(min(110 * 2**20, 5 * block + 24 * 2**20))
 
 
-def _f32_precision():
-    """MXU precision for the f32-exact path's one-hot selection matmuls.
+def _f32_split3():
+    """f32-exact selection strategy: bf16x3 manual split (default) vs
+    Precision.HIGHEST emulated-f32 matmuls (TRIPS_TPU_F32_SELECT=highest).
 
-    Each output element of ``taps @ E`` has exactly ONE nonzero term (E is
-    one-hot per column), so there is no accumulation error — the only
-    error source is input splitting. bf16x3 (Precision.HIGH) represents a
-    f32 input exactly across its three splits, so HIGH is bit-faithful
-    here and ~2x cheaper than HIGHEST's deeper pass count. HIGHEST remains
-    the default until the device measurement lands
-    (TRIPS_TPU_F32_SELECT=high to switch)."""
-    if os.environ.get("TRIPS_TPU_F32_SELECT", "highest") == "high":
-        return jax.lax.Precision.HIGH
-    return jax.lax.Precision.HIGHEST
+    The selection operand E is 0/1 (exact in bf16), so every product in
+    ``taps @ E`` is just a tap value: splitting the f32 side into three
+    bf16 components (hi + mid + lo captures all 24 mantissa bits) and
+    accumulating the three one-pass matmuls in f32 reproduces the
+    HIGHEST result while issuing half the MXU passes. (Mosaic has no
+    Precision.HIGH lowering, hence the manual split.)"""
+    return os.environ.get("TRIPS_TPU_F32_SELECT", "split3") != "highest"
+
+
+def _sel_dot(Mf, E, dims, f32_exact):
+    """One-hot selection matmul. bf16 path: single native matmul.
+    f32-exact path: bf16x3 split of the f32 side (see _f32_split3) or
+    HIGHEST-precision emulation."""
+    if not f32_exact:
+        return jax.lax.dot_general(
+            Mf.astype(jnp.bfloat16), E,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+    if not _f32_split3():
+        return jax.lax.dot_general(
+            Mf, E.astype(jnp.float32), dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    m1 = Mf.astype(jnp.bfloat16)
+    r = Mf - m1.astype(jnp.float32)
+    m2 = r.astype(jnp.bfloat16)
+    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for mk in (m1, m2, m3):
+        u = jax.lax.dot_general(mk, E, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        out = u if out is None else out + u
+    return out
 
 
 def _nbits(n):
@@ -97,8 +121,6 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
     unrolled per-group loop."""
     p_pad = w.shape[2]
     gsize = n // n_groups
-    mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
-    prec = _f32_precision() if f32_exact else None
     if batched:
         # Mosaic's tpu.matmul needs batch dims at EQUAL positions: use a
         # clean 3-D (G, M, K) x (G, K, N) batched contraction.
@@ -109,12 +131,9 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
             (1, 0, 2, 3)).reshape(n_groups, T * gsize, n)
         iota3 = jax.lax.broadcasted_iota(
             jnp.int32, (n_groups, n, p_pad), 1)
-        E_b = (iota3 == pm[:, None, :]).astype(mm_dtype)
-        U = jax.lax.dot_general(
-            tapsB.astype(mm_dtype), E_b,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec)                           # (G, T*gsize, p_pad)
+        E_b = (iota3 == pm[:, None, :]).astype(jnp.bfloat16)
+        U = _sel_dot(tapsB, E_b, (((2,), (1,)), ((0,), (0,))),
+                     f32_exact)                       # (G, T*gsize, p_pad)
         Wb = jnp.transpose(
             w.reshape(T, n_groups, gsize, p_pad),
             (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
@@ -122,15 +141,12 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
     acc = jnp.zeros((1, p_pad), jnp.float32)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
     for g in range(n_groups):
-        E = (iota_c == pm[g, :][None, :]).astype(mm_dtype)
+        E = (iota_c == pm[g, :][None, :]).astype(jnp.bfloat16)
         xg = xs[g * gsize:(g + 1) * gsize, :]
         taps = jnp.concatenate(
             [xg if t == 0 else jnp.roll(xg, -t, axis=1)
              for t in range(T)], axis=0)
-        U = jax.lax.dot_general(
-            taps.astype(mm_dtype), E,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        U = _sel_dot(taps, E, (((1,), (0,)), ((), ())), f32_exact)
         wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
         acc = acc + jnp.sum(wg.astype(jnp.float32) * U, axis=0,
                             keepdims=True)
@@ -151,21 +167,16 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
     ``_fwd_stage``); same batched/loop duality."""
     p_pad = w.shape[2]
     gsize = n // n_groups
-    mm_dtype = jnp.float32 if f32_exact else jnp.bfloat16
-    prec = _f32_precision() if f32_exact else None
     if batched:
         iota3 = jax.lax.broadcasted_iota(
             jnp.int32, (n_groups, p_pad, n), 2)
-        EtB = (iota3 == pm[:, :, None]).astype(mm_dtype)
+        EtB = (iota3 == pm[:, :, None]).astype(jnp.bfloat16)
         Wb = jnp.transpose(
             w.reshape(T, n_groups, gsize, p_pad),
             (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
         Zb = Wb.astype(jnp.float32) * y[None, None, :]
-        U = jax.lax.dot_general(
-            Zb.astype(mm_dtype), EtB,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec)                           # (G, T*gsize, n)
+        U = _sel_dot(Zb, EtB, (((2,), (1,)), ((0,), (0,))),
+                     f32_exact)                       # (G, T*gsize, n)
         Ut = jnp.transpose(
             U.reshape(n_groups, T, gsize, n), (1, 0, 2, 3))
         acc = Ut[0]
@@ -175,14 +186,11 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
     blocks = []
     for g in range(n_groups):
-        Et = (iota_c == pm[g, :][:, None]).astype(mm_dtype)
+        Et = (iota_c == pm[g, :][:, None]).astype(jnp.bfloat16)
         wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
         Z = wg.astype(jnp.float32) * y[None, :]
-        U = jax.lax.dot_general(
-            Z.astype(mm_dtype), Et,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).reshape(T, gsize, n)
+        U = _sel_dot(Z, Et, (((1,), (0,)), ((), ())),
+                     f32_exact).reshape(T, gsize, n)
         blk = U[0]
         for t in range(1, T):
             blk = blk + jnp.roll(U[t], t, axis=1)
