@@ -42,9 +42,12 @@ def main():
 
     np.random.seed(0)
     x_true = None
+    angles_list = None
     if args.dataset == "synthetic":
-        A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
-            nx=args.nx, nt=args.nt, views=12, noise_level=0.01
+        (A, b, AA, B, nx, ny, nt, delta, x_true,
+         angles_list) = generate_synthetic_dynamic(
+            nx=args.nx, nt=args.nt, views=12, noise_level=0.01,
+            return_angles=True
         )
     elif args.dataset == "emoji":
         A, b, AA, B, nx, ny, nt = generate_emoji(dataset=30)
@@ -57,7 +60,16 @@ def main():
             data_set="simulation", new_shape=(args.nx, args.nx), nt=args.nt
         )
 
-    op = EllOperator.from_scipy(A)
+    # the champion TPU format for the full block system: frame-varying
+    # banded pack with vmapped kernels (falls back to ELL when per-frame
+    # angle sets are unknown, e.g. downloaded datasets)
+    if angles_list is not None:
+        from trips_tpu.sparse import DynamicBandedOperator
+
+        op = DynamicBandedOperator.from_frames(AA, nx, angles_list,
+                                               n_groups=8)
+    else:
+        op = EllOperator.from_scipy(A)
     results = {}
 
     # static: per-frame MMGKS (the reference loops frames serially;

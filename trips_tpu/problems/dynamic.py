@@ -194,7 +194,8 @@ def generate_stempo(data_set="simulation", data_thinning=2, views=11,
     raise ValueError(f"unknown data_set {data_set!r}")
 
 
-def generate_synthetic_dynamic(nx=32, nt=8, views=12, noise_level=0.01, seed=3):
+def generate_synthetic_dynamic(nx=32, nt=8, views=12, noise_level=0.01,
+                               seed=3, return_angles=False):
     """Self-contained dynamic CT problem (offline stand-in for Emoji et al.).
 
     A moving-disc phantom imaged by a per-frame fan-beam geometry whose
@@ -226,4 +227,12 @@ def generate_synthetic_dynamic(nx=32, nt=8, views=12, noise_level=0.01, seed=3):
     per_frame_B = np.split(b, nt)
     A = sp.block_diag(AA, format="csr")
     x_true = np.concatenate(frames)
-    return A, b, AA, per_frame_B, nx, nx, nt, delta, x_true
+    out = (A, b, AA, per_frame_B, nx, nx, nt, delta, x_true)
+    if return_angles:
+        # per-frame angle sets (frame-varying geometry) for packing the
+        # block system into sparse.DynamicBandedOperator
+        angles_list = [np.deg2rad(5 * t)
+                       + np.linspace(0, np.pi, views, endpoint=False)
+                       for t in range(nt)]
+        return out + (angles_list,)
+    return out
