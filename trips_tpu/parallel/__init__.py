@@ -21,5 +21,6 @@ from .sharded_bsr import ShardedBsrOperator, ShardedDynamicBsrOperator  # noqa: 
 __all__ += ["ShardedBsrOperator", "ShardedDynamicBsrOperator"]
 
 from .sharded_banded import ShardedBandedProjector  # noqa: E402
+from .sharded_dynamic_banded import ShardedDynamicBandedOperator  # noqa: E402
 
-__all__ += ["ShardedBandedProjector"]
+__all__ += ["ShardedBandedProjector", "ShardedDynamicBandedOperator"]

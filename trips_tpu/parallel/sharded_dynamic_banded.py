@@ -1,0 +1,239 @@
+"""(time x angles)-sharded dynamic banded projector.
+
+The dynamic block-diagonal system has two embarrassingly parallel axes:
+frames (no cross-frame coupling in A — only the spacetime-TV operator
+couples neighbors) and, within a frame, angles (independent forward,
+additive adjoint). ``DynamicBandedOperator`` stacks per-frame banded packs
+as (nt, na, T, n_pad, p_pad) arrays, which map directly onto a 2-D
+('time', 'angles') mesh:
+
+- forward: zero collectives — each device applies its (frame-slab x
+  angle-slab) weights to its frames' replicated-within-time images;
+- adjoint / fused A^T A: one ``psum`` over the 'angles' axis per frame
+  slab (the n_pad^2 image contribution) — nothing crosses the time axis.
+
+This carries the champion single-chip economy (fused A^T A, single
+weight stream) to the full dynamic mesh: SURVEY §5.7's "frames across
+hosts x rows within a frame" realized as frames x angles on the banded
+format. The spacetime-TV halo over time is handled by the L operator
+(GSPMD nearest-neighbor), not here.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
+
+from ..core.linop import LinearOperator, register_op
+from ..sparse.banded import apply_group_xla
+from ..sparse.dynamic_banded import DynamicBandedOperator
+
+
+def _use_pallas():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class ShardedDynamicBandedOperator(LinearOperator):
+    """DynamicBandedOperator with frames sharded over 'time' and each
+    frame's angles sharded over 'angles'."""
+
+    def __init__(self, groups, shape, nx, p, views, n_groups, nnz, nt,
+                 n_pad, mesh, t_axis, a_axis):
+        (self.W_rows, self.shift_rows, self.P_rows, self.aidx_rows) = \
+            groups[0]
+        (self.W_cols, self.shift_cols, self.P_cols, self.aidx_cols) = \
+            groups[1]
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.n_pad = n_pad
+        self.det_count = p
+        self.views = views
+        self.n_groups = n_groups
+        self.nnz = nnz
+        self.nt = nt
+        self.mesh = mesh
+        self.t_axis = t_axis
+        self.a_axis = a_axis
+
+    @classmethod
+    def from_dynamic(cls, op: DynamicBandedOperator, mesh,
+                     t_axis: str = "time", a_axis: str = "angles"):
+        T_dev = mesh.shape[t_axis]
+        A_dev = mesh.shape[a_axis]
+        if op.nt % T_dev:
+            raise ValueError(
+                f"nt={op.nt} must be a multiple of the '{t_axis}' mesh "
+                f"axis ({T_dev}); pad the frame list.")
+
+        def sh(a, spec):
+            return jax.device_put(
+                jnp.asarray(a), NamedSharding(mesh, spec))
+
+        def prep(W, S, Pm, aidx):
+            W, S, Pm, aidx = map(np.asarray, (W, S, Pm, aidx))
+            na = W.shape[1]
+            na_pad = max(-(-na // A_dev) * A_dev, A_dev)
+            padn = na_pad - na
+            if W.size == 0:
+                W = np.zeros((op.nt, 0) + W.shape[2:], W.dtype)
+            W = np.pad(W, ((0, 0), (0, padn)) + ((0, 0),) * (W.ndim - 2))
+            S = np.pad(S, ((0, 0), (0, padn), (0, 0)))
+            Pm = np.pad(Pm, ((0, 0), (0, padn), (0, 0), (0, 0)))
+            # padded angles: zero weights; scatter index out of range
+            aidx = np.pad(aidx, ((0, 0), (0, padn)),
+                          constant_values=op.views)
+            full = (t_axis, a_axis)
+            return (sh(W, PartitionSpec(*full, None, None, None)),
+                    sh(S, PartitionSpec(*full, None)),
+                    sh(Pm, PartitionSpec(*full, None, None)),
+                    sh(aidx, PartitionSpec(t_axis, None)))
+
+        rows = prep(op.W_rows, op.shift_rows, op.P_rows, op.aidx_rows)
+        cols = prep(op.W_cols, op.shift_cols, op.P_cols, op.aidx_cols)
+        return cls((rows, cols), op.shape, op.nx, op.det_count, op.views,
+                   op.n_groups, op.nnz, op.nt, op.n_pad, mesh, t_axis,
+                   a_axis)
+
+    @property
+    def stored_bytes(self):
+        return (self.W_rows.size * self.W_rows.dtype.itemsize
+                + self.W_cols.size * self.W_cols.dtype.itemsize)
+
+    def _groups(self):
+        return ((self.W_rows, self.shift_rows, self.P_rows,
+                 self.aidx_rows, False),
+                (self.W_cols, self.shift_cols, self.P_cols,
+                 self.aidx_cols, True))
+
+    def _frame_fwd(self, W, S, Pm, X):
+        if _use_pallas():
+            from ..sparse.pallas_banded_kernel import _fwd_call
+
+            return _fwd_call(X, W, S, Pm, self.n_groups)
+        return apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
+                               False, wrap=True)
+
+    def _frame_adj(self, W, S, Pm, Yg):
+        if _use_pallas():
+            from ..sparse.pallas_banded_kernel import _adj_call
+
+            return _adj_call(Yg, W, S, Pm, self.n_groups)
+        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
+                               True, y_rows=Yg, wrap=True)
+
+    def _frame_ata(self, W, S, Pm, X):
+        if _use_pallas():
+            from ..sparse.pallas_banded_kernel import _ata_call
+
+            return _ata_call(X, W, S, Pm, self.n_groups)
+        y = apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
+                            False, wrap=True)
+        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
+                               True, y_rows=y, wrap=True)
+
+    def _embed(self, x):
+        n, npd = self.nx, self.n_pad
+        X = x.reshape(self.nt, n, n).astype(jnp.float32)
+        if npd == n:
+            return X
+        return jnp.zeros((self.nt, npd, npd), X.dtype).at[
+            :, :n, :n].set(X)
+
+    def matvec(self, x):
+        n, p, v = self.nx, self.det_count, self.views
+        X = self._embed(x)
+        ta, aa = self.t_axis, self.a_axis
+        y = jnp.zeros((self.nt, v, p), jnp.float32)
+        for W, S, Pm, aidx, is_cols in self._groups():
+            if not W.size:
+                continue
+
+            def local(W, S, Pm, X):
+                # W (nt_l, na_l, ...), X (nt_l, npd, npd)
+                return jax.vmap(self._frame_fwd)(W, S, Pm, X)
+
+            f = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(PartitionSpec(ta, aa, None, None, None),
+                          PartitionSpec(ta, aa, None),
+                          PartitionSpec(ta, aa, None, None),
+                          PartitionSpec(ta, None, None)),
+                out_specs=PartitionSpec(ta, aa, None))
+            Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
+            yg = f(W, S, Pm, Xg)  # (nt, na_pad, p_pad)
+            y = jax.vmap(
+                lambda yy, gg, ai: yy.at[ai].set(gg[:, :p], mode="drop")
+            )(y, yg, aidx)
+        return y.reshape(-1).astype(x.dtype)
+
+    def rmatvec(self, yv):
+        n, p, v = self.nx, self.det_count, self.views
+        npd = self.n_pad
+        Y = yv.reshape(self.nt, v, p).astype(jnp.float32)
+        ta, aa = self.t_axis, self.a_axis
+        img = jnp.zeros((self.nt, n, n), jnp.float32)
+        for W, S, Pm, aidx, is_cols in self._groups():
+            if not W.size:
+                continue
+            p_pad = W.shape[4]
+            Yg = jax.vmap(lambda yy, ai: jnp.take(
+                yy, ai, axis=0, mode="fill", fill_value=0.0))(Y, aidx)
+            Yg = jnp.pad(Yg, ((0, 0), (0, 0), (0, p_pad - p)))
+
+            def local(W, S, Pm, Yl):
+                c = jax.vmap(self._frame_adj)(W, S, Pm, Yl)
+                return jax.lax.psum(c, aa)
+
+            f = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(PartitionSpec(ta, aa, None, None, None),
+                          PartitionSpec(ta, aa, None),
+                          PartitionSpec(ta, aa, None, None),
+                          PartitionSpec(ta, aa, None)),
+                out_specs=PartitionSpec(ta, None, None))
+            c = f(W, S, Pm, Yg)  # (nt, npd, npd)
+            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
+                :, :n, :n]
+        return img.reshape(-1).astype(yv.dtype)
+
+    def normal_matvec(self, x):
+        """Fused per-angle A^T A on every (frame, angle) shard; one psum
+        over the 'angles' axis per frame slab — single weight stream per
+        CGLS iteration across the whole dynamic mesh."""
+        n = self.nx
+        X = self._embed(x)
+        ta, aa = self.t_axis, self.a_axis
+        img = jnp.zeros((self.nt, n, n), jnp.float32)
+        for W, S, Pm, aidx, is_cols in self._groups():
+            if not W.size:
+                continue
+
+            def local(W, S, Pm, X):
+                c = jax.vmap(self._frame_ata)(W, S, Pm, X)
+                return jax.lax.psum(c, aa)
+
+            f = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(PartitionSpec(ta, aa, None, None, None),
+                          PartitionSpec(ta, aa, None),
+                          PartitionSpec(ta, aa, None, None),
+                          PartitionSpec(ta, None, None)),
+                out_specs=PartitionSpec(ta, None, None))
+            Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
+            c = f(W, S, Pm, Xg)
+            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
+                :, :n, :n]
+        return img.reshape(-1).astype(x.dtype)
+
+
+register_op(
+    ShardedDynamicBandedOperator,
+    ["W_rows", "shift_rows", "P_rows", "aidx_rows",
+     "W_cols", "shift_cols", "P_cols", "aidx_cols"],
+    ["shape", "nx", "n_pad", "det_count", "views", "n_groups", "nnz",
+     "nt", "mesh", "t_axis", "a_axis"],
+)
