@@ -44,7 +44,8 @@ def _measure(op, b, iters):
 
 
 def run(nx=256, views=60, iters=50, device_counts=None, formats=("banded",
-                                                                 "bsr")):
+                                                                 "bsr",
+                                                                 "dynamic")):
     import jax
     import jax.numpy as jnp
 
@@ -64,12 +65,36 @@ def run(nx=256, views=60, iters=50, device_counts=None, formats=("banded",
     out = {}
     for fmt in formats:
         results = []
-        bop = None
+        bop = dop = None
+        if fmt == "dynamic":
+            from ..parallel.sharded_dynamic_banded import (
+                ShardedDynamicBandedOperator)
+            from ..problems.dynamic import generate_synthetic_dynamic
+            from .. import sparse as _sp
+
+            nt = max(2, device_counts[-1] // 2)
+            _, bd, AAd, _, nxd, _, _, _, _, al = generate_synthetic_dynamic(
+                nx=min(nx, 64), nt=nt, views=max(views // 4, 8),
+                noise_level=0.01, return_angles=True)
+            dop = _sp.DynamicBandedOperator.from_frames(
+                AAd, nxd, al, n_groups=16,
+                dtype=jnp.bfloat16 if on_tpu else None)
+            b_dyn = bd.astype(np.float32)
         if fmt == "banded":
             bop = BandedProjector.from_scipy_fan(
                 A, nx, views, n_groups=16,
                 dtype=jnp.bfloat16 if on_tpu else None)
         for nd in device_counts:
+            if fmt == "dynamic":
+                t_sh = 2 if (nd % 2 == 0 and dop.nt % 2 == 0) else 1
+                if dop.nt % max(t_sh, 1):
+                    continue
+                mesh = make_mesh({"time": t_sh, "angles": nd // t_sh},
+                                 devices=devices[:nd])
+                sop = ShardedDynamicBandedOperator.from_dynamic(dop, mesh)
+                rate = _measure(sop, b_dyn, iters) * dop.nnz
+                results.append((nd, rate))
+                continue
             if fmt == "banded":
                 mesh = make_mesh({"angles": nd}, devices=devices[:nd])
                 sop = ShardedBandedProjector.from_banded(
