@@ -232,9 +232,13 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3, stream_factor=2):
             # iteration (2 = separate fwd+adj; 1 = fused A^T A kernel)
             streamed = stream_factor * iters * stored * 1e6
             info["streamed_gb"] = round(streamed / 1e9, 2)
-            best_wall = iters * 2 * nnz / max(rates)
-            info["gbps"] = round(streamed / best_wall / 1e9, 1)
+            # derive from the median wall so gbps/pct_peak_bw share the
+            # headline gnnzps's basis (ADVICE r3); best-run kept separately
+            med_wall = iters * 2 * nnz / float(np.median(rates))
+            info["gbps"] = round(streamed / med_wall / 1e9, 1)
             info["pct_peak_bw"] = round(100 * info["gbps"] / PEAK_HBM_GBPS, 1)
+            best_wall = iters * 2 * nnz / max(rates)
+            info["gbps_best"] = round(streamed / best_wall / 1e9, 1)
         if remaining() < EMIT_RESERVE_S + 5 and rates:
             break
     rate = float(np.median(rates))

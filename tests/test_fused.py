@@ -383,3 +383,69 @@ def test_fused_f32_all_modes_all_solvers():
             assert l32 == l64 == 0.0, (combo, l32, l64)
         else:
             assert 0.5 < l32 / l64 < 2.0, (combo, l32, l64)
+
+
+def test_fused_mmgks_dynamic_weight_modes():
+    """Fused isoTV/GS dynamic MMGKS matches the host solver (VERDICT r3
+    item 2): the reference's flagship dynamic modes (MMGKS.py:61-91) run
+    entirely inside the fused device loop."""
+    from trips_tpu.operators import CenteredSpaceTimeDerivative
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse import EllOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true = generate_synthetic_dynamic(
+        nx=16, nt=4, views=8, noise_level=0.01)
+    op = EllOperator.from_scipy(A, dtype=np.float64)
+    Ltv = CenteredSpaceTimeDerivative(nx, ny, nt)
+
+    x_host, info = MMGKS(op, b, Ltv, pnorm=2, qnorm=1, projection_dim=4,
+                         n_iter=6, regparam="gcv", isoTV="isoTV",
+                         prob_dims=(nx, ny, nt))
+    x_dev, lams, _ = fused_mmgks(op, jnp.asarray(b), Ltv, pnorm=2.0,
+                                 qnorm=1.0, projection_dim=4, n_iter=6,
+                                 regparam_mode="gcv", weight_mode="isoTV",
+                                 prob_dims=(nx, ny, nt))
+    ref = np.asarray(x_host).reshape(-1)
+    assert (np.linalg.norm(np.asarray(x_dev) - ref)
+            / np.linalg.norm(ref)) < 1e-5
+
+    x_host_gs, _ = MMGKS(op, b, None, pnorm=2, qnorm=1, projection_dim=4,
+                         n_iter=6, regparam="gcv", GS="GS",
+                         prob_dims=(nx, ny, nt))
+    x_dev_gs, lams_gs, _ = fused_mmgks(op, jnp.asarray(b), None, pnorm=2.0,
+                                       qnorm=1.0, projection_dim=4, n_iter=6,
+                                       regparam_mode="gcv", weight_mode="GS",
+                                       prob_dims=(nx, ny, nt))
+    ref = np.asarray(x_host_gs).reshape(-1)
+    assert (np.linalg.norm(np.asarray(x_dev_gs) - ref)
+            / np.linalg.norm(ref)) < 1e-5
+
+
+def test_fused_mmgks_dynamic_banded_operator():
+    """The reference's flagship dynamic reconstruction as ONE device
+    program: DynamicBandedOperator as A inside fused_mmgks(isoTV)."""
+    from trips_tpu.operators import CenteredSpaceTimeDerivative
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse import EllOperator
+    from trips_tpu.sparse.dynamic_banded import DynamicBandedOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, angles_list = \
+        generate_synthetic_dynamic(nx=16, nt=4, views=8, noise_level=0.01,
+                                   return_angles=True)
+    op = DynamicBandedOperator.from_frames(AA, nx, angles_list, n_groups=8)
+    Ltv = CenteredSpaceTimeDerivative(nx, ny, nt)
+    bj = jnp.asarray(b.astype(np.float64))
+    x_dev, lams, _ = fused_mmgks(op, bj, Ltv, pnorm=2.0, qnorm=1.0,
+                                 projection_dim=4, n_iter=6,
+                                 regparam_mode="gcv", weight_mode="isoTV",
+                                 prob_dims=(nx, ny, nt))
+    # same program with the ELL apply: the banded pack is exact, so the
+    # two operators are the same matrix
+    op2 = EllOperator.from_scipy(A, dtype=np.float64)
+    x_ref, _, _ = fused_mmgks(op2, bj, Ltv, pnorm=2.0, qnorm=1.0,
+                              projection_dim=4, n_iter=6,
+                              regparam_mode="gcv", weight_mode="isoTV",
+                              prob_dims=(nx, ny, nt))
+    ref = np.asarray(x_ref)
+    assert (np.linalg.norm(np.asarray(x_dev) - ref)
+            / np.linalg.norm(ref)) < 1e-4

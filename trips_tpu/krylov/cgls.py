@@ -133,14 +133,19 @@ def _cgn_init(A, b, x0):
 def _cgn_step(A, tol, s: CGNState) -> CGNState:
     q = _normal_apply(A)(s.p)
     delta = jnp.vdot(s.p, q)
-    delta = jnp.where(delta == 0, jnp.finfo(s.x.dtype).eps, delta)
-    beta = s.gamma / delta
+    # delta == p.(A^T A p) is >= 0 in exact arithmetic, but a quantized
+    # (bf16) fused normal apply can round it to a small negative near
+    # convergence; a negative delta would flip the step sign and stall or
+    # diverge the iteration, so treat it as converged instead.
+    bad = delta <= 0
+    delta = jnp.where(bad, jnp.finfo(s.x.dtype).eps, delta)
+    beta = jnp.where(bad, 0.0, s.gamma / delta)
     x = s.x + beta * s.p
     t = s.t - beta * q
     norm_t = jnp.linalg.norm(t)
     gamma = norm_t**2
     p = t + (gamma / s.gamma) * s.p
-    done = norm_t <= s.norms_t0 * tol
+    done = jnp.logical_or(norm_t <= s.norms_t0 * tol, bad)
     return CGNState(x=x, t=t, p=p, gamma=gamma, norms_t0=s.norms_t0,
                     k=s.k + 1, done=done)
 

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..krylov import golub_kahan
-from ..operators.weights import smoothed_holder_weights
+from ..operators.weights import (gs_weights, iso_tv_weights,
+                                 smoothed_holder_weights)
 from ..regparam.device import _dp_newton_filtered, fminbound
 
 
@@ -267,19 +268,47 @@ def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
 
 
 @partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
-                                   "regparam_mode"))
+                                   "regparam_mode", "weight_mode",
+                                   "prob_dims"))
 def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
                 projection_dim=3, n_iter=20, regparam=1.0, use_gcv=None,
-                regparam_mode="gcv", delta=0.0, eta=1.01):
-    """All-on-device MMGKS (smoothed-Holder weights).
+                regparam_mode="gcv", delta=0.0, eta=1.01,
+                weight_mode="holder", prob_dims=None):
+    """All-on-device MMGKS.
 
     regparam_mode: 'gcv' | 'dp' | 'l_curve' | 'scalar', all on device.
     GCV/DP see the *weighted* projected data (QA^T (wf b)) while the solve
     and the L-curve use QA^T b, mirroring the host rule (mmgks.py:99-106;
     reference MMGKS.py:96-106). Returns (x, lambda_history,
     residual_history).
+
+    weight_mode: 'holder' (smoothed-Holder, the reference default) |
+    'isoTV' | 'GS' — the reference's dynamic-CT modes (MMGKS.py:61-91),
+    evaluated on device inside the fused loop. Both dynamic modes require
+    ``prob_dims=(nx, ny, nt)`` (static). In 'GS' mode the regularizer is
+    replaced by kron(I_nt, D_2d) exactly as the reference rebuilds it
+    (MMGKS.py:44-50) — the passed ``L`` is ignored. ``A`` may be any
+    registered operator pytree, including ``DynamicBandedOperator`` — the
+    whole dynamic reconstruction is then one device program.
     """
     mode = _resolve_mode(regparam_mode, use_gcv)
+    if weight_mode not in ("holder", "isoTV", "GS"):
+        raise ValueError(
+            f"weight_mode must be 'holder' | 'isoTV' | 'GS', got "
+            f"{weight_mode!r}")
+    if weight_mode in ("isoTV", "GS"):
+        if prob_dims is None:
+            raise TypeError(
+                "For isotropic TV / group sparsity you must enter the "
+                "dimensions of the dynamic problem, e.g. "
+                "prob_dims=(nx, ny, nt).")
+        nxd, nyd, ntd = prob_dims
+    if weight_mode == "GS":
+        from ..core.linop import BatchedBlockDiagOperator
+        from ..operators.derivatives import FirstDerivative2D
+
+        Ls2d = FirstDerivative2D(nxd, nyd)
+        L = BatchedBlockDiagOperator(Ls2d, ntd)
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     s = L.shape[0]
@@ -302,7 +331,12 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
         v = A.matvec(x) - b
         wf = smoothed_holder_weights(v, epsilon, pnorm)
         u = L.matvec(x)
-        wr = smoothed_holder_weights(u, epsilon, qnorm)
+        if weight_mode == "isoTV":
+            wr = iso_tv_weights(x, u, nxd, nyd, ntd, epsilon, qnorm)
+        elif weight_mode == "GS":
+            wr = gs_weights(x, Ls2d.matmat, nxd, nyd, ntd, qnorm)
+        else:
+            wr = smoothed_holder_weights(u, epsilon, qnorm)
 
         QA, R_A = _masked_qr(AV * wf[:, None], active)
         QL, R_L = _masked_qr(LV * wr[:, None], active)

@@ -64,6 +64,13 @@ class DynamicBandedOperator(LinearOperator):
         ``angles_list[t]`` into one stacked operator."""
         nt = len(AA)
         assert len(angles_list) == nt
+        views0 = len(angles_list[0])
+        for t, a in enumerate(angles_list):
+            if len(a) != views0:
+                raise ValueError(
+                    f"frame {t} has {len(a)} angles, expected {views0}: "
+                    "the stacked sinogram layout (nt, views, p) requires a "
+                    "uniform angle count per frame")
         ops = [BandedProjector.from_scipy_fan(
             AA[t], nx, views=None, angles=np.asarray(angles_list[t]),
             n_groups=n_groups, dtype=dtype, lane_pad=lane_pad)
