@@ -73,3 +73,49 @@ def test_dp_device_unattainable(rng):
     bproj = np.ones(k + 1)
     lam = float(dp_lambda(jnp.asarray(B), jnp.asarray(bproj), delta=1e-6))
     assert lam == 0.0
+
+
+def test_device_tsvd_tgsvd_selection_matches_host(rng):
+    """Device discrete truncation searches == host rules (VERDICT r3
+    item 7): gcv/dp x tsvd/tgsvd on full SVD/GSVD spectra."""
+    from trips_tpu.regparam import (discrepancy_principle,
+                                    generalized_crossvalidation)
+    from trips_tpu.regparam.device import (dp_tgsvd_k, dp_tsvd_k,
+                                           gcv_tgsvd_k, gcv_tsvd_k)
+    from trips_tpu.utils.gsvd import gsvd
+
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        m, n = 24, 18
+        # ill-posed spectrum + noisy data
+        U0, _ = np.linalg.qr(r.standard_normal((m, m)))
+        V0, _ = np.linalg.qr(r.standard_normal((n, n)))
+        S0 = np.geomspace(1, 1e-6, n)
+        A = U0[:, :n] * S0 @ V0.T
+        x = r.standard_normal(n)
+        b = (A @ x + 1e-3 * r.standard_normal(m)).reshape(-1, 1)
+        delta = 1e-3 * np.sqrt(m)
+
+        U, S, VT = np.linalg.svd(A)
+        bhat = jnp.asarray((U.T @ b).reshape(-1))
+        k_host = generalized_crossvalidation(U, S, VT, b, gcvtype="tsvd")
+        assert int(gcv_tsvd_k(bhat, n)) == k_host
+        k_host = discrepancy_principle(U, S, VT, b, dptype="tsvd",
+                                       delta=delta)
+        assert int(dp_tsvd_k(bhat, n, delta)) == k_host
+
+        # square L: the CSD construction needs rows(L) >= cols (m >= n >= p)
+        L = np.eye(n) - np.diag(np.ones(n - 1), 1)
+        Ug, _, X, C, Sg = gsvd(A, L)
+        bh_g = jnp.asarray((Ug.T @ b).reshape(-1))
+        k_host = generalized_crossvalidation(Ug, Sg, X, b, gcvtype="tgsvd")
+        assert int(gcv_tgsvd_k(bh_g, X.shape[1], L.shape[0])) == k_host
+        k_host = discrepancy_principle(Ug, C, X, b, dptype="tgsvd",
+                                       delta=delta)
+        assert int(dp_tgsvd_k(bh_g, X.shape[1], delta)) == k_host
+
+    # saturation edges: huge delta
+    assert int(dp_tsvd_k(bhat, n, 1e9)) == discrepancy_principle(
+        U, S, VT, b, dptype="tsvd", delta=1e9)
+    assert int(dp_tgsvd_k(bh_g, X.shape[1], 1e9)) == discrepancy_principle(
+        Ug, C, X, b, dptype="tgsvd", delta=1e9)

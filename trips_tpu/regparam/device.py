@@ -235,3 +235,75 @@ def dp_lambda(B, bproj, delta, eta=1.01):
     tail2 = jnp.sum(bhat[nA:] ** 2) if mA > nA else jnp.asarray(0.0, bhat.dtype)
     testzero = tail2 - thresh
     return _dp_newton_filtered(sv2, bhat, thresh, testzero)
+
+
+# ---- discrete truncation-index selection (tsvd/tgsvd), device twins ------
+#
+# Vectorized mirrors of the host discrete searches (regparam/gcv.py:95-121,
+# regparam/dp.py:133-158; reference gcv.py:96-122,
+# discrepancy_principle.py:100-128): the reference's python loops become
+# reversed cumulative sums + argmin/argmax, so truncation solvers can pick k
+# inside a jitted program (VERDICT r3 item 7).
+
+
+def _suffix_sums(bhat, n):
+    """rev[i] = sum of |bhat_j|^2 for j in [n-1-i, n): the residual energy
+    released by zeroing the smallest i+1 retained coefficients."""
+    c = bhat[:n] ** 2
+    return jnp.cumsum(c[::-1]), jnp.sum(bhat[n:] ** 2)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def gcv_tsvd_k(bhat, n):
+    """GCV truncation index for TSVD: k minimizing
+    (residual energy past k + out-of-range tail) / (m - k)^2 over
+    k = n-1 .. 0 (host gcv.py:95-104; reference gcv.py:96-109).
+    ``bhat = U^T b`` with U the full (m, m) left-singular basis."""
+    bhat = jnp.reshape(bhat, (-1,))
+    m = bhat.shape[0]
+    rev, tail = _suffix_sums(bhat, n)
+    i = jnp.arange(n)
+    vals = (rev + tail) / (m - (n - (i + 1))) ** 2
+    return n - (jnp.argmin(vals) + 1)
+
+
+@partial(jax.jit, static_argnames=("n", "p"))
+def gcv_tgsvd_k(bhat, n, p):
+    """GCV truncation index for TGSVD: progressive zeroing of |bhat|^2 from
+    index n-1 downward, denominator (p - i - 1)^2 (host gcv.py:106-121;
+    reference gcv.py:110-122, including the inf at the zero denominator)."""
+    bhat = jnp.reshape(bhat, (-1,))
+    rev, _ = _suffix_sums(bhat, n)
+    total = jnp.sum(bhat[:n] ** 2)
+    i = jnp.arange(n)
+    den = (p - i - 1.0) ** 2
+    vals = jnp.where(den != 0, (total - rev) / den, jnp.inf)
+    return jnp.argmin(vals)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def dp_tsvd_k(bhat, n, delta, eta=1.01):
+    """DP truncation index for TSVD: walk k = n-1 .. 0 while the truncated
+    residual stays below (eta*delta)^2; stop at the first violation (host
+    dp.py:133-146; reference discrepancy_principle.py:100-114). Returns n
+    when even the first step violates."""
+    bhat = jnp.reshape(bhat, (-1,))
+    thresh = (eta * delta) ** 2
+    rev, tail = _suffix_sums(bhat, n)
+    ok = rev + tail - thresh >= 0  # dp_val >= 0 -> the walk breaks here
+    lead = jnp.where(jnp.any(ok), jnp.argmax(ok), n)  # consecutive passes
+    return n - lead
+
+
+@partial(jax.jit, static_argnames=("n",))
+def dp_tgsvd_k(bhat, n, delta, eta=1.01):
+    """DP truncation index for TGSVD: progressive zeroing while the running
+    energy stays >= (eta*delta)^2; alpha = last passing index (host
+    dp.py:148-158; reference discrepancy_principle.py:115-128)."""
+    bhat = jnp.reshape(bhat, (-1,))
+    thresh = (eta * delta) ** 2
+    rev, _ = _suffix_sums(bhat, n)
+    total = jnp.sum(bhat[:n] ** 2)
+    fail = (total - rev) - thresh < 0
+    lead = jnp.where(jnp.any(fail), jnp.argmax(fail), n)
+    return jnp.where(lead == 0, n, lead - 1)
