@@ -27,6 +27,68 @@ import time
 import numpy as np
 
 
+# -- analytic ICI communication-cost model (VERDICT r3 item 3) ------------
+#
+# The merged sharded applies issue exactly ONE psum of one (n_pad^2, f32)
+# image per normal/adjoint apply (pinned by
+# tests/test_parallel.py::test_sharded_banded_single_psum_per_apply), and
+# the angle-sharded weight stream is embarrassingly parallel. Per-iteration
+# time on D chips is therefore modeled as
+#
+#   t(D) = t1 / D                      (compute+stream, perfectly sharded)
+#        + 2 * B_psum * (D-1)/D / BW_ici   (ring all-reduce payload)
+#        + L_coll                      (collective launch/latency floor)
+#
+# with B_psum = n_pad^2 * 4 bytes, BW_ici the per-chip ICI bandwidth and
+# L_coll a per-collective latency floor. v5e: 1600 Gbps ICI per chip (2-D
+# torus; ICI spans hosts within a pod slice, so >=2-host collectives ride
+# ICI, not DCN). t1 comes from the measured single-chip champion
+# (BENCH_r03: 9.47 Gnnz/s fused A^T A -> t1 = 2*nnz/9.47e9 for the
+# tomo256x60 config).
+
+V5E_ICI_BYTES_PER_S = 200e9  # 1600 Gbps per chip
+V5E_COLLECTIVE_LATENCY_S = 5e-6
+
+
+def predict_ici_efficiency(t1_s, psum_bytes, device_counts,
+                           ici_bw=V5E_ICI_BYTES_PER_S,
+                           latency_s=V5E_COLLECTIVE_LATENCY_S):
+    """Predicted nnz/s scaling efficiency of the single-psum banded apply.
+
+    Returns [{devices, t_compute_s, t_comm_s, predicted_efficiency}].
+    """
+    out = []
+    for d in device_counts:
+        t_comp = t1_s / d
+        t_comm = (2.0 * psum_bytes * (d - 1) / d / ici_bw
+                  + (latency_s if d > 1 else 0.0))
+        out.append({
+            "devices": int(d),
+            "t_compute_s": t_comp,
+            "t_comm_s": t_comm,
+            "predicted_efficiency": t1_s / d / (t_comp + t_comm),
+        })
+    return out
+
+
+def predicted_section(nnz=5_077_264, n_pad=256,
+                      champion_gnnzps=9.47,
+                      device_counts=(1, 2, 4, 8, 16, 32, 64),
+                      label="tomo256x60_bf16_g32_fused_ata"):
+    """Predicted-efficiency artifact block for a measured champion config."""
+    t1 = 2.0 * nnz / (champion_gnnzps * 1e9)
+    psum_bytes = n_pad * n_pad * 4
+    return {
+        "label": label,
+        "t1_per_iter_s": t1,
+        "psum_bytes_per_apply": psum_bytes,
+        "ici_bytes_per_s": V5E_ICI_BYTES_PER_S,
+        "collective_latency_s": V5E_COLLECTIVE_LATENCY_S,
+        "psums_per_normal_apply": 1,
+        "curve": predict_ici_efficiency(t1, psum_bytes, device_counts),
+    }
+
+
 def _measure(op, b, iters):
     import jax
     import jax.numpy as jnp
@@ -129,6 +191,16 @@ def main(out_path="SCALING.json", nx=64, views=24, iters=20):
         "label": ("functional_smoke_simulated_devices"
                   if platform != "tpu" else "measured"),
         "formats": results,
+        # analytic ICI model for the real-hardware claim (the smoke above
+        # validates plumbing only): champion tomo256x60 and the
+        # STEMPO-real-scale dynamic config (640^2 image psum, 6.5 Gnnz/s
+        # measured single-chip frame rate)
+        "predicted": [
+            predicted_section(),
+            predicted_section(nnz=5_077_264, n_pad=640,
+                              champion_gnnzps=6.5,
+                              label="stempo560_dynamic_per_frame_slab"),
+        ],
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -170,6 +170,19 @@ def cgls_normal(A, b, x0, max_iter: int, tol=0.0):
     return s.x, s.k
 
 
+@jax.jit
+def _cgn_chunk(A, tol, s: CGNState, k_end) -> CGNState:
+    """Run the cgls_normal recurrence up to iteration ``k_end`` (traced):
+    the chunked-execution primitive behind
+    ``solvers.checkpointed.cgls_normal_checkpointed`` — identical body ops
+    to ``cgls_normal``, so chunking does not change f32 rounding."""
+
+    def cond(s):
+        return jnp.logical_and(s.k < k_end, jnp.logical_not(s.done))
+
+    return jax.lax.while_loop(cond, lambda s: _cgn_step(A, tol, s), s)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def cgls_normal_fixed(A, b, x0, iters: int):
     """Fixed-iteration scan-unrolled variant of ``cgls_normal``."""

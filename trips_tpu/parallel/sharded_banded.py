@@ -102,106 +102,132 @@ class ShardedBandedProjector(LinearOperator):
              self._angles_cols, self._na_cols, True),
         )
 
+    # -- single-program merged applies (VERDICT r3 item 3) ----------------
+    #
+    # Both drive groups run inside ONE shard_map program per apply; the
+    # adjoint/normal contributions of the two groups are summed locally so
+    # exactly ONE psum of one (n_pad, n_pad) image crosses the mesh per
+    # apply (previously: one program + one full-image psum per group — 2x
+    # dispatch and 2x collective volume).
+
+    def _active(self):
+        return [g for g in self._groups() if g[4] > 0]
+
+    def _flat_args(self, groups):
+        return [a for (W, Sf, Pm, _, _, _) in groups for a in (W, Sf, Pm)]
+
+    def _embed(self, x):
+        n, npd = self.nx, self.n_pad
+        X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
+        if npd != n:
+            X0 = jnp.zeros((npd, npd), X0.dtype).at[:n, :n].set(X0)
+        return X0
+
     def matvec(self, x):
         n, p = self.nx, self.det_count
         npd = self.n_pad
         na_tot = self.shape[0] // p
-        X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
-        if npd != n:
-            X0 = jnp.zeros((npd, npd), X0.dtype).at[:n, :n].set(X0)
+        X0 = self._embed(x)
         y = jnp.zeros((na_tot, p), jnp.float32)
         ax = self.axis
         ng = self.n_groups
+        groups = self._active()
 
-        def local_fwd(W, Sf, Pm, X):
-            if _use_pallas():
-                from ..sparse.pallas_banded_kernel import _fwd_call
+        def local_fwd(X, *flat):
+            outs = []
+            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
+                W, Sf, Pm = flat[3 * i:3 * i + 3]
+                Xg = X.T if is_cols else X
+                if _use_pallas():
+                    from ..sparse.pallas_banded_kernel import _fwd_call
 
-                return _fwd_call(X, W, Sf, Pm, ng)
-            return apply_group_xla(npd, ng, X, W, Sf, Pm, False, wrap=True)
+                    outs.append(_fwd_call(Xg, W, Sf, Pm, ng))
+                else:
+                    outs.append(apply_group_xla(npd, ng, Xg, W, Sf, Pm,
+                                                False, wrap=True))
+            return tuple(outs)
 
         f = jax.shard_map(
             local_fwd, mesh=self.mesh,
-            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
-                      PartitionSpec(ax), PartitionSpec()),
-            out_specs=PartitionSpec(ax))
-        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
-            if na_real == 0:
-                continue
-            yg = f(W, Sf, Pm, X0.T if is_cols else X0)
+            in_specs=(PartitionSpec(),)
+            + (PartitionSpec(ax),) * (3 * len(groups)),
+            out_specs=tuple(PartitionSpec(ax) for _ in groups))
+        outs = f(X0, *self._flat_args(groups))
+        for yg, (_, _, _, aidx, na_real, _) in zip(outs, groups):
             y = y.at[jnp.asarray(aidx)].set(yg[:na_real, :p])
         return y.reshape(-1).astype(x.dtype)
 
     def normal_matvec(self, x):
-        """x -> A^T A x with the fused per-angle kernel on each chip's
-        local angle slab and ONE psum over the mesh axis — the same
-        single-weight-stream economy as the single-chip ``cgls_normal``
-        path, with no extra collectives (forward needs none; the adjoint
-        psum is the only cross-chip traffic, n*n floats)."""
+        """x -> A^T A x: the fused per-angle kernel on each chip's local
+        angle slab of BOTH drive groups, locally summed, then ONE psum over
+        the mesh axis — the single-chip ``cgls_normal`` weight-stream
+        economy with exactly one collective (n_pad^2 f32) per apply."""
         n = self.nx
         npd = self.n_pad
-        X0 = jnp.reshape(x, (n, n)).astype(jnp.float32)
-        if npd != n:
-            X0 = jnp.zeros((npd, npd), X0.dtype).at[:n, :n].set(X0)
+        X0 = self._embed(x)
         ax = self.axis
         ng = self.n_groups
+        groups = self._active()
 
-        def local_ata(W, Sf, Pm, X):
-            if _use_pallas():
-                from ..sparse.pallas_banded_kernel import _ata_call
+        def local_ata(X, *flat):
+            acc = jnp.zeros((npd, npd), jnp.float32)
+            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
+                W, Sf, Pm = flat[3 * i:3 * i + 3]
+                Xg = X.T if is_cols else X
+                if _use_pallas():
+                    from ..sparse.pallas_banded_kernel import _ata_call
 
-                c = _ata_call(X, W, Sf, Pm, ng)
-            else:
-                y = apply_group_xla(npd, ng, X, W, Sf, Pm, False,
-                                    wrap=True)
-                c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
-                                    y_rows=y, wrap=True)
-            return jax.lax.psum(c, ax)
+                    c = _ata_call(Xg, W, Sf, Pm, ng)
+                else:
+                    yg = apply_group_xla(npd, ng, Xg, W, Sf, Pm, False,
+                                         wrap=True)
+                    c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
+                                        y_rows=yg, wrap=True)
+                acc = acc + (c.T if is_cols else c)
+            return jax.lax.psum(acc, ax)
 
         f = jax.shard_map(
             local_ata, mesh=self.mesh,
-            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
-                      PartitionSpec(ax), PartitionSpec()),
+            in_specs=(PartitionSpec(),)
+            + (PartitionSpec(ax),) * (3 * len(groups)),
             out_specs=PartitionSpec())
-        img = jnp.zeros((npd, npd), jnp.float32)
-        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
-            if na_real == 0:
-                continue
-            c = f(W, Sf, Pm, X0.T if is_cols else X0)
-            img = img + (c.T if is_cols else c)
+        img = f(X0, *self._flat_args(groups))
         return img[:n, :n].reshape(-1).astype(x.dtype)
 
     def rmatvec(self, yv):
         n, p = self.nx, self.det_count
         npd = self.n_pad
         Y = jnp.reshape(yv, (-1, p)).astype(jnp.float32)
-        img = jnp.zeros((npd, npd), jnp.float32)
         ax = self.axis
         ng = self.n_groups
+        groups = self._active()
 
-        def local_adj(W, Sf, Pm, Yg):
-            if _use_pallas():
-                from ..sparse.pallas_banded_kernel import _adj_call
+        def local_adj(*args):
+            ys, flat = args[:len(groups)], args[len(groups):]
+            acc = jnp.zeros((npd, npd), jnp.float32)
+            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
+                W, Sf, Pm = flat[3 * i:3 * i + 3]
+                if _use_pallas():
+                    from ..sparse.pallas_banded_kernel import _adj_call
 
-                c = _adj_call(Yg, W, Sf, Pm, ng)
-            else:
-                c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
-                                    y_rows=Yg, wrap=True)
-            return jax.lax.psum(c, ax)
+                    c = _adj_call(ys[i], W, Sf, Pm, ng)
+                else:
+                    c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
+                                        y_rows=ys[i], wrap=True)
+                acc = acc + (c.T if is_cols else c)
+            return jax.lax.psum(acc, ax)
 
         f = jax.shard_map(
             local_adj, mesh=self.mesh,
-            in_specs=(PartitionSpec(ax), PartitionSpec(ax),
-                      PartitionSpec(ax), PartitionSpec(ax)),
+            in_specs=(PartitionSpec(ax),) * len(groups)
+            + (PartitionSpec(ax),) * (3 * len(groups)),
             out_specs=PartitionSpec())
-        for W, Sf, Pm, aidx, na_real, is_cols in self._groups():
-            if na_real == 0:
-                continue
+        ys = []
+        for W, Sf, Pm, aidx, na_real, _ in groups:
             na_pad, p_pad = W.shape[0], W.shape[3]
-            Yg = jnp.pad(Y[jnp.asarray(aidx)],
-                         ((0, na_pad - na_real), (0, p_pad - p)))
-            c = f(W, Sf, Pm, Yg)
-            img = img + (c.T if is_cols else c)
+            ys.append(jnp.pad(Y[jnp.asarray(aidx)],
+                              ((0, na_pad - na_real), (0, p_pad - p))))
+        img = f(*ys, *self._flat_args(groups))
         return img[:n, :n].reshape(-1).astype(yv.dtype)
 
 

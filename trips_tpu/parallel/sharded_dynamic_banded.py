@@ -143,28 +143,47 @@ class ShardedDynamicBandedOperator(LinearOperator):
         return jnp.zeros((self.nt, npd, npd), X.dtype).at[
             :, :n, :n].set(X)
 
+    # -- single-program merged applies (VERDICT r3 item 3) ----------------
+    #
+    # Both drive groups run inside ONE shard_map program per apply; their
+    # image contributions are summed locally so exactly ONE psum over the
+    # 'angles' axis crosses the mesh per adjoint/normal apply.
+
+    def _active(self):
+        return [g for g in self._groups() if g[0].size]
+
+    def _flat_args(self, groups):
+        return [a for (W, S, Pm, _, _) in groups for a in (W, S, Pm)]
+
+    def _group_specs(self, groups):
+        ta, aa = self.t_axis, self.a_axis
+        return sum(((PartitionSpec(ta, aa, None, None, None),
+                     PartitionSpec(ta, aa, None),
+                     PartitionSpec(ta, aa, None, None)) for _ in groups),
+                   ())
+
     def matvec(self, x):
         n, p, v = self.nx, self.det_count, self.views
         X = self._embed(x)
         ta, aa = self.t_axis, self.a_axis
         y = jnp.zeros((self.nt, v, p), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
-            if not W.size:
-                continue
+        groups = self._active()
 
-            def local(W, S, Pm, X):
-                # W (nt_l, na_l, ...), X (nt_l, npd, npd)
-                return jax.vmap(self._frame_fwd)(W, S, Pm, X)
+        def local(X, *flat):
+            outs = []
+            for i, (_, _, _, _, is_cols) in enumerate(groups):
+                W, S, Pm = flat[3 * i:3 * i + 3]
+                Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
+                outs.append(jax.vmap(self._frame_fwd)(W, S, Pm, Xg))
+            return tuple(outs)
 
-            f = jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=(PartitionSpec(ta, aa, None, None, None),
-                          PartitionSpec(ta, aa, None),
-                          PartitionSpec(ta, aa, None, None),
-                          PartitionSpec(ta, None, None)),
-                out_specs=PartitionSpec(ta, aa, None))
-            Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-            yg = f(W, S, Pm, Xg)  # (nt, na_pad, p_pad)
+        f = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(PartitionSpec(ta, None, None),)
+            + self._group_specs(groups),
+            out_specs=tuple(PartitionSpec(ta, aa, None) for _ in groups))
+        outs = f(X, *self._flat_args(groups))
+        for yg, (_, _, _, aidx, _) in zip(outs, groups):
             y = jax.vmap(
                 lambda yy, gg, ai: yy.at[ai].set(gg[:, :p], mode="drop")
             )(y, yg, aidx)
@@ -172,62 +191,61 @@ class ShardedDynamicBandedOperator(LinearOperator):
 
     def rmatvec(self, yv):
         n, p, v = self.nx, self.det_count, self.views
-        npd = self.n_pad
         Y = yv.reshape(self.nt, v, p).astype(jnp.float32)
         ta, aa = self.t_axis, self.a_axis
-        img = jnp.zeros((self.nt, n, n), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
-            if not W.size:
-                continue
+        groups = self._active()
+
+        def local(*args):
+            ys, flat = args[:len(groups)], args[len(groups):]
+            acc = None
+            for i, (_, _, _, _, is_cols) in enumerate(groups):
+                W, S, Pm = flat[3 * i:3 * i + 3]
+                c = jax.vmap(self._frame_adj)(W, S, Pm, ys[i])
+                c = jnp.swapaxes(c, 1, 2) if is_cols else c
+                acc = c if acc is None else acc + c
+            return jax.lax.psum(acc, aa)
+
+        ys = []
+        for W, _, _, aidx, _ in groups:
             p_pad = W.shape[4]
             Yg = jax.vmap(lambda yy, ai: jnp.take(
                 yy, ai, axis=0, mode="fill", fill_value=0.0))(Y, aidx)
-            Yg = jnp.pad(Yg, ((0, 0), (0, 0), (0, p_pad - p)))
-
-            def local(W, S, Pm, Yl):
-                c = jax.vmap(self._frame_adj)(W, S, Pm, Yl)
-                return jax.lax.psum(c, aa)
-
-            f = jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=(PartitionSpec(ta, aa, None, None, None),
-                          PartitionSpec(ta, aa, None),
-                          PartitionSpec(ta, aa, None, None),
-                          PartitionSpec(ta, aa, None)),
-                out_specs=PartitionSpec(ta, None, None))
-            c = f(W, S, Pm, Yg)  # (nt, npd, npd)
-            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
-                :, :n, :n]
-        return img.reshape(-1).astype(yv.dtype)
+            ys.append(jnp.pad(Yg, ((0, 0), (0, 0), (0, p_pad - p))))
+        f = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(PartitionSpec(ta, aa, None),) * len(groups)
+            + self._group_specs(groups),
+            out_specs=PartitionSpec(ta, None, None))
+        img = f(*ys, *self._flat_args(groups))
+        return img[:, :n, :n].reshape(-1).astype(yv.dtype)
 
     def normal_matvec(self, x):
-        """Fused per-angle A^T A on every (frame, angle) shard; one psum
-        over the 'angles' axis per frame slab — single weight stream per
-        CGLS iteration across the whole dynamic mesh."""
+        """Fused per-angle A^T A on every (frame, angle) shard of BOTH
+        drive groups, locally summed; ONE psum over the 'angles' axis per
+        apply — single weight stream per CGLS iteration across the whole
+        dynamic mesh."""
         n = self.nx
         X = self._embed(x)
         ta, aa = self.t_axis, self.a_axis
-        img = jnp.zeros((self.nt, n, n), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
-            if not W.size:
-                continue
+        groups = self._active()
 
-            def local(W, S, Pm, X):
-                c = jax.vmap(self._frame_ata)(W, S, Pm, X)
-                return jax.lax.psum(c, aa)
+        def local(X, *flat):
+            acc = None
+            for i, (_, _, _, _, is_cols) in enumerate(groups):
+                W, S, Pm = flat[3 * i:3 * i + 3]
+                Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
+                c = jax.vmap(self._frame_ata)(W, S, Pm, Xg)
+                c = jnp.swapaxes(c, 1, 2) if is_cols else c
+                acc = c if acc is None else acc + c
+            return jax.lax.psum(acc, aa)
 
-            f = jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=(PartitionSpec(ta, aa, None, None, None),
-                          PartitionSpec(ta, aa, None),
-                          PartitionSpec(ta, aa, None, None),
-                          PartitionSpec(ta, None, None)),
-                out_specs=PartitionSpec(ta, None, None))
-            Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-            c = f(W, S, Pm, Xg)
-            img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
-                :, :n, :n]
-        return img.reshape(-1).astype(x.dtype)
+        f = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(PartitionSpec(ta, None, None),)
+            + self._group_specs(groups),
+            out_specs=PartitionSpec(ta, None, None))
+        img = f(X, *self._flat_args(groups))
+        return img[:, :n, :n].reshape(-1).astype(x.dtype)
 
 
 register_op(

@@ -196,29 +196,23 @@ def _resolve_mode(regparam_mode, use_gcv):
     return regparam_mode
 
 
-@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
-                                   "regparam_mode"))
-def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
-              use_gcv=None, regparam_mode="gcv", delta=0.0, eta=1.01):
-    """All-on-device GKS. Returns (x, lambda_history, residual_history).
-
-    regparam_mode: 'gcv' | 'dp' | 'l_curve' | 'scalar' — all four run
-    on device with no host sync (VERDICT r1 item 6). 'dp' requires
-    ``delta``. ``use_gcv`` is the legacy round-1 flag (True -> 'gcv',
-    False -> 'scalar'); ``regparam`` is the fixed lam for 'scalar'.
-    """
-    mode = _resolve_mode(regparam_mode, use_gcv)
+def _gks_init(A, b, L, projection_dim, n_iter):
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     s = L.shape[0]
     K = projection_dim + n_iter
     dtype = b.dtype
-
     _, _, V0 = golub_kahan(A, b, projection_dim)
     V = jnp.zeros((n, K), dtype).at[:, :projection_dim].set(V0)
     AV = jnp.zeros((m, K), dtype).at[:, :projection_dim].set(A.matmat(V0))
     LV = jnp.zeros((s, K), dtype).at[:, :projection_dim].set(L.matmat(V0))
+    return (V, AV, LV, jnp.zeros((n,), dtype),
+            jnp.zeros((n_iter,), dtype), jnp.zeros((n_iter,), dtype))
 
+
+def _gks_body(A, b, L, mode, regparam, delta, eta, projection_dim, K):
+    b = jnp.reshape(b, (-1,))
+    dtype = b.dtype
     col_idx = jnp.arange(K)
 
     def body(ii, carry):
@@ -258,13 +252,37 @@ def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
         resids = resids.at[ii].set(rnorm)
         return (V, AV, LV, x, lams, resids)
 
-    x0 = jnp.zeros((n,), dtype)
-    lams0 = jnp.zeros((n_iter,), dtype)
-    resids0 = jnp.zeros((n_iter,), dtype)
-    V, AV, LV, x, lams, resids = jax.lax.fori_loop(
-        0, n_iter, body, (V, AV, LV, x0, lams0, resids0)
-    )
-    return x, lams, resids
+    return body
+
+
+@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
+                                   "regparam_mode"))
+def fused_gks(A, b, L, projection_dim=3, n_iter=20, regparam=1.0,
+              use_gcv=None, regparam_mode="gcv", delta=0.0, eta=1.01):
+    """All-on-device GKS. Returns (x, lambda_history, residual_history).
+
+    regparam_mode: 'gcv' | 'dp' | 'l_curve' | 'scalar' — all four run
+    on device with no host sync (VERDICT r1 item 6). 'dp' requires
+    ``delta``. ``use_gcv`` is the legacy round-1 flag (True -> 'gcv',
+    False -> 'scalar'); ``regparam`` is the fixed lam for 'scalar'.
+    """
+    mode = _resolve_mode(regparam_mode, use_gcv)
+    K = projection_dim + n_iter
+    body = _gks_body(A, b, L, mode, regparam, delta, eta, projection_dim, K)
+    carry = jax.lax.fori_loop(0, n_iter, body,
+                              _gks_init(A, b, L, projection_dim, n_iter))
+    return carry[3], carry[4], carry[5]
+
+
+@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "chunk",
+                                   "use_gcv", "regparam_mode"))
+def _fused_gks_chunk(A, b, L, carry, i0, chunk, projection_dim=3, n_iter=20,
+                     regparam=1.0, use_gcv=None, regparam_mode="gcv",
+                     delta=0.0, eta=1.01):
+    mode = _resolve_mode(regparam_mode, use_gcv)
+    K = projection_dim + n_iter
+    body = _gks_body(A, b, L, mode, regparam, delta, eta, projection_dim, K)
+    return jax.lax.fori_loop(i0, i0 + chunk, body, carry)
 
 
 @partial(jax.jit, static_argnames=("projection_dim", "n_iter", "use_gcv",
@@ -303,25 +321,48 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
                 "dimensions of the dynamic problem, e.g. "
                 "prob_dims=(nx, ny, nt).")
         nxd, nyd, ntd = prob_dims
-    if weight_mode == "GS":
-        from ..core.linop import BatchedBlockDiagOperator
-        from ..operators.derivatives import FirstDerivative2D
+    L = _mmgks_regularizer(L, weight_mode, prob_dims)
+    K = projection_dim + n_iter
+    body = _mmgks_body(A, b, L, mode, pnorm, qnorm, epsilon, regparam,
+                       delta, eta, weight_mode, prob_dims, projection_dim,
+                       K)
+    carry = jax.lax.fori_loop(
+        0, n_iter, body, _mmgks_init(A, b, L, projection_dim, n_iter))
+    return carry[3], carry[4], carry[5]
 
-        Ls2d = FirstDerivative2D(nxd, nyd)
-        L = BatchedBlockDiagOperator(Ls2d, ntd)
+
+def _mmgks_regularizer(L, weight_mode, prob_dims):
+    if weight_mode != "GS":
+        return L
+    from ..core.linop import BatchedBlockDiagOperator
+    from ..operators.derivatives import FirstDerivative2D
+
+    nxd, nyd, ntd = prob_dims
+    return BatchedBlockDiagOperator(FirstDerivative2D(nxd, nyd), ntd)
+
+
+def _mmgks_init(A, b, L, projection_dim, n_iter):
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     s = L.shape[0]
     K = projection_dim + n_iter
     dtype = b.dtype
-
     _, _, V0 = golub_kahan(A, b, projection_dim)
     V = jnp.zeros((n, K), dtype).at[:, :projection_dim].set(V0)
     AV = jnp.zeros((m, K), dtype).at[:, :projection_dim].set(A.matmat(V0))
     LV = jnp.zeros((s, K), dtype).at[:, :projection_dim].set(L.matmat(V0))
-    x0 = A.rmatvec(b)
+    return (V, AV, LV, A.rmatvec(b),
+            jnp.zeros((n_iter,), dtype), jnp.zeros((n_iter,), dtype))
 
+
+def _mmgks_body(A, b, L, mode, pnorm, qnorm, epsilon, regparam, delta, eta,
+                weight_mode, prob_dims, projection_dim, K):
+    b = jnp.reshape(b, (-1,))
+    dtype = b.dtype
     col_idx = jnp.arange(K)
+    if weight_mode in ("isoTV", "GS"):
+        nxd, nyd, ntd = prob_dims
+    Ls2d = L.op if weight_mode == "GS" else None
 
     def body(ii, carry):
         V, AV, LV, x, lams, resids = carry
@@ -372,12 +413,24 @@ def fused_mmgks(A, b, L, pnorm=2.0, qnorm=1.0, epsilon=0.1,
         resids = resids.at[ii].set(rnorm)
         return (V, AV, LV, x, lams, resids)
 
-    lams0 = jnp.zeros((n_iter,), dtype)
-    resids0 = jnp.zeros((n_iter,), dtype)
-    V, AV, LV, x, lams, resids = jax.lax.fori_loop(
-        0, n_iter, body, (V, AV, LV, x0, lams0, resids0)
-    )
-    return x, lams, resids
+    return body
+
+
+@partial(jax.jit, static_argnames=("projection_dim", "n_iter", "chunk",
+                                   "use_gcv", "regparam_mode",
+                                   "weight_mode", "prob_dims"))
+def _fused_mmgks_chunk(A, b, L, carry, i0, chunk, pnorm=2.0, qnorm=1.0,
+                       epsilon=0.1, projection_dim=3, n_iter=20,
+                       regparam=1.0, use_gcv=None, regparam_mode="gcv",
+                       delta=0.0, eta=1.01, weight_mode="holder",
+                       prob_dims=None):
+    mode = _resolve_mode(regparam_mode, use_gcv)
+    L = _mmgks_regularizer(L, weight_mode, prob_dims)
+    K = projection_dim + n_iter
+    body = _mmgks_body(A, b, L, mode, pnorm, qnorm, epsilon, regparam,
+                       delta, eta, weight_mode, prob_dims, projection_dim,
+                       K)
+    return jax.lax.fori_loop(i0, i0 + chunk, body, carry)
 
 
 @partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth",
