@@ -288,3 +288,30 @@ def test_nonaligned_grid_lane_padding(rng):
     b = jnp.asarray(A @ np.abs(x))
     xr, _ = cgls_normal(op, b, jnp.zeros(nx * nx, jnp.float32), 15, 0.0)
     assert np.isfinite(np.asarray(xr)).all()
+
+
+def test_native_pack_matches_numpy():
+    """Native C++ pack_angle/scatter_fill == the NumPy pack bit-for-bit
+    (VERDICT r3 item 8): same shears, predictors, tap indices and slab
+    values (incl. the RNE f32->bf16 conversion) for both drive groups."""
+    import trips_tpu.native as nat
+    from trips_tpu.problems.projector import fan_beam_matrix
+
+    if nat.load() is None or not hasattr(nat.load(), "pack_angle"):
+        pytest.skip("native toolchain unavailable")
+    A = fan_beam_matrix(96, views=14).astype(np.float32)
+    for dt in (None, np.dtype(jnp.bfloat16)):
+        op_nat = BandedProjector.from_scipy_fan(A, 96, views=14,
+                                                n_groups=8, dtype=dt)
+        lib, tried = nat._lib, nat._tried
+        nat._lib, nat._tried = None, True  # force the NumPy fallback
+        try:
+            op_np = BandedProjector.from_scipy_fan(A, 96, views=14,
+                                                   n_groups=8, dtype=dt)
+        finally:
+            nat._lib, nat._tried = lib, tried
+        for fld in ("W_rows", "shift_rows", "P_rows", "W_cols",
+                    "shift_cols", "P_cols"):
+            a = np.asarray(getattr(op_nat, fld))
+            b = np.asarray(getattr(op_np, fld))
+            assert a.dtype == b.dtype and np.array_equal(a, b), fld
