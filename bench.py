@@ -253,7 +253,9 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3, stream_factor=2):
 CLASSES = {
     "onthefly_fan_while": "exact",
     "banded_f32": "exact",
+    "banded_f32_buck": "exact",
     "bsr_f32_while": "exact",
+    "shear_fan": "surrogate",
     "banded_bf16_g32": "quantized",
     "banded_bf16_g16": "quantized",
     "bsr_bf16_while": "quantized",
@@ -390,7 +392,7 @@ def main():
         else:
             run_tpu_paths = True
 
-        otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = None
+        otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = buckf32 = None
 
         # ---- path 0: on-the-fly fan projector — cheapest compile (~6 s),
         # exact-matrix class, zero transfer. Runs FIRST so both headline
@@ -424,6 +426,17 @@ def main():
             run_path("banded_f32", bopf32, 150)
             run_path("banded_f32_ata", bopf32, 150, solver=cgls_normal,
                      stream_factor=1)
+            # Ta-bucketed f32 exact pack: per-bucket tap widths cut the
+            # streamed slab ~27% at zero added compute (r4 finding:
+            # +10% on this stream-heavier f32 path; bf16 gains ~2%)
+            with phase("banded_f32_buck_build", 60, report) as ok:
+                if ok:
+                    from trips_tpu.sparse import BucketedBandedProjector
+
+                    buckf32 = BucketedBandedProjector.from_scipy_fan(
+                        A, nx, views, n_groups=32, n_buckets=2)
+            run_path("banded_f32_buck_ata", buckf32, 150,
+                     solver=cgls_normal, stream_factor=1)
 
             # ---- path 3: banded bf16 n_groups=16 — measured champion
             # (6.7 Gnnz/s r2 sweep); its compile has hit 300 s+ under
@@ -446,6 +459,9 @@ def main():
                         nx, views=views, dtype=jnp.float32,
                         g_dtype=jnp.bfloat16)
             run_path("shear_fan_while", sf, 240)
+            # fused A^T A: G streamed once per iteration (r4 kernel)
+            run_path("shear_fan_ata", sf, 150, solver=cgls_normal,
+                     stream_factor=1)
 
         # ---- path 5: stored BSR bf16/int8 (32,128) — round-1 champions -
         if run_tpu_paths and remaining() > 150:
@@ -493,7 +509,9 @@ def main():
                 ("banded_f32", bopf32, None, 2),
                 ("banded_bf16_g32_ata", bop32, cgls_normal, 1),
                 ("banded_f32_ata", bopf32, cgls_normal, 1),
-                ("shear_fan_while", sf, None, 2)):
+                ("banded_f32_buck_ata", buckf32, cgls_normal, 1),
+                ("shear_fan_while", sf, None, 2),
+                ("shear_fan_ata", sf, cgls_normal, 1)):
             if rop is None or report["paths"].get(rname, {}).get("gnnzps"):
                 continue
             if remaining() < 90:

@@ -315,3 +315,31 @@ def test_native_pack_matches_numpy():
             a = np.asarray(getattr(op_nat, fld))
             b = np.asarray(getattr(op_np, fld))
             assert a.dtype == b.dtype and np.array_equal(a, b), fld
+
+
+def test_bucketed_banded_matches_flat():
+    """Ta-bucketed pack: same exact matrix as the flat pack, same applies
+    (XLA fallback path), fused normal apply matches A^T A."""
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    rng = np.random.default_rng(3)
+    nx, views = 64, 12
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    flat = BandedProjector.from_scipy_fan(A, nx, views=views, n_groups=8)
+    buck = BucketedBandedProjector.from_scipy_fan(A, nx, views=views,
+                                                  n_groups=8, n_buckets=2)
+    assert len(buck.stacks) >= 3  # both drive groups split
+    # strictly less stored stream than the flat pack
+    assert buck.stored_bytes < flat.stored_bytes
+    d = (buck.to_scipy() != flat.to_scipy())
+    assert d.nnz == 0
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    y = rng.standard_normal(A.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(buck.matvec(jnp.asarray(x))),
+                               A @ x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(buck.rmatvec(jnp.asarray(y))),
+                               A.T @ y, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(buck.normal_matvec(jnp.asarray(x))),
+        A.T @ (A @ x), rtol=2e-3, atol=2e-3)

@@ -129,3 +129,32 @@ def test_pallas_rotate_matches_xla(rng):
     lhs = float(np.sum(R_xla * Gc))
     rhs = float(np.sum(np.asarray(X) * xt))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_gcontract_ata_matches_einsum_pair(rng):
+    """Fused G-contraction (G streamed once) == the forward/adjoint einsum
+    pair, tile by tile (interpret mode)."""
+    from trips_tpu.operators.pallas_shear import gcontract_ata_pallas
+
+    op = ShearFanProjector(32, views=6, dtype=jnp.float32,
+                           g_dtype=jnp.float32)
+    na, C = op.n_angles, op._C
+    R = jnp.asarray(rng.standard_normal((na, C, C)).astype(np.float32))
+    y = jnp.einsum("aic,icd->ad", R, op.G,
+                   preferred_element_type=jnp.float32)
+    ref = jnp.einsum("ad,icd->aic", y, op.G,
+                     preferred_element_type=jnp.float32)
+    out = gcontract_ata_pallas(R, op.G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_normal_matvec_fallback_matches_pair(rng):
+    """Off-TPU, normal_matvec == rmatvec(matvec(x)) exactly; the padded-G
+    forward/adjoint still match the unpadded semantics."""
+    op = ShearFanProjector(24, views=5)
+    x = rng.standard_normal(op.shape[1])
+    a = np.asarray(op.normal_matvec(jnp.asarray(x)))
+    b = np.asarray(op.rmatvec(op.matvec(jnp.asarray(x))))
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    assert op.G.shape[2] % 128 == 0

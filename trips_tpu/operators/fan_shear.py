@@ -135,7 +135,10 @@ class ShearFanProjector(LinearOperator):
         self.G = self._build_g()
 
     def _build_g(self):
-        """(C, C, p) hat-weight constant, from iota arithmetic on device."""
+        """(C, C, p_pad) hat-weight constant, from iota arithmetic on
+        device; the detector axis is padded to a multiple of 128 with zero
+        columns (lane-aligned blocks for the fused-A^T A Pallas kernel —
+        zero columns contribute nothing in either direction)."""
         C, p = self._C, self.det_count
         so, od, dw = self._so, self._od, self._dw
         cc = (C - 1) / 2.0
@@ -153,6 +156,9 @@ class ShearFanProjector(LinearOperator):
         w = step[None, None, :] * live[:, None, None]
         G = w * ((cix == c0[:, None, :]) * (1.0 - f)[:, None, :]
                  + (cix == (c0 + 1.0)[:, None, :]) * f[:, None, :])
+        p_pad = _round_up(p, 128)
+        if p_pad != p:
+            G = jnp.pad(G, ((0, 0), (0, 0), (0, p_pad - p)))
         return G.astype(self._g_dtype)
 
     # -- shear machinery ---------------------------------------------------
@@ -245,7 +251,7 @@ class ShearFanProjector(LinearOperator):
              else self._rotate_pallas(X))
         acc = jnp.promote_types(self.dtype_, jnp.float32)
         y = jnp.einsum("aic,icd->ad", R.astype(self.G.dtype), self.G,
-                       preferred_element_type=acc)
+                       preferred_element_type=acc)[:, :self.det_count]
         return y.reshape(-1).astype(self.dtype_)
 
     def matvec(self, x):
@@ -261,10 +267,47 @@ class ShearFanProjector(LinearOperator):
             return xt.astype(y.dtype)
         acc = jnp.promote_types(self.dtype_, jnp.float32)
         Y = y.reshape(self.n_angles, self.det_count).astype(self.dtype_)
-        Radj = jnp.einsum("ad,icd->aic", Y.astype(self.G.dtype), self.G,
+        Yp = jnp.pad(Y, ((0, 0), (0, self.G.shape[2] - self.det_count)))
+        Radj = jnp.einsum("ad,icd->aic", Yp.astype(self.G.dtype), self.G,
                           preferred_element_type=acc).astype(self.G.dtype)
         xt = self._rotate_adjoint_pallas(Radj).reshape(-1)
         return xt.astype(y.dtype)
+
+    def _ata_plan(self):
+        """(dtile, acc_dtype) whose VMEM plan fits — R (na, C, C) in the G
+        dtype + the accumulator + a double-buffered (C, C, 128) G block
+        (Mosaic requires 128-lane blocks). Prefers the f32 accumulator;
+        falls back to the G dtype, then to the matvec/rmatvec pair
+        (None)."""
+        C, na = self._C, self.n_angles
+        gsz = self.G.dtype.itemsize
+        gbuf = 2 * C * C * 128 * gsz
+        for acc in (jnp.float32, self.G.dtype):
+            need = na * C * C * (gsz + jnp.dtype(acc).itemsize) + gbuf
+            if need < 126e6:
+                return 128, jnp.dtype(acc)
+        return None
+
+    def normal_matvec(self, x):
+        """x -> A^T A x with G streamed from HBM ONCE: forward-contract and
+        back-project each detector tile of G inside one Pallas pass
+        (``pallas_shear.gcontract_ata_pallas``). The separate
+        matvec/rmatvec pair reads G twice per CGLS iteration, and G is the
+        dominant stream of this operator (128 MB bf16 at 256^2/60 views) —
+        the same economy ``_ata_kernel`` gives the banded format."""
+        plan = self._ata_plan() if self._use_pallas() else None
+        if plan is None:
+            return self.rmatvec(self.matvec(x))
+        from .pallas_shear import gcontract_ata_pallas
+
+        dtile, acc_dtype = plan
+        X = x.reshape(self.ny, self.nx).astype(self.dtype_)
+        R = self._rotate_pallas(X)                       # (na, C, C)
+        Radj = gcontract_ata_pallas(R, self.G, dtile=dtile,
+                                    acc_dtype=acc_dtype).astype(
+            self.G.dtype)
+        xt = self._rotate_adjoint_pallas(Radj).reshape(-1)
+        return xt.astype(x.dtype)
 
     def matmat(self, Xm):
         return jax.vmap(self.matvec, in_axes=1, out_axes=1)(Xm)

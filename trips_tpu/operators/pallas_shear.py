@@ -142,3 +142,59 @@ def rotate_all_adjoint_pallas(g_canvases, kx, fx, ky, fy, kq,
     )(jnp.asarray(kq, jnp.int32), g_canvases,
       kx.reshape(na, C, 1), fx.reshape(na, C, 1),
       ky.reshape(na, 1, C), fy.reshape(na, 1, C))
+
+
+def _gcontract_ata_kernel(r_ref, g_ref, o_ref):
+    """One detector tile: forward-contract all rotated canvases against the
+    G block, immediately back-project the tile's sinogram — G is streamed
+    from HBM ONCE per normal-equations apply (it is read twice by the
+    separate forward/adjoint einsums, and at 256^2/60 views G is 128 MB,
+    the dominant stream of the ShearFanProjector iteration)."""
+    d = pl.program_id(0)
+    R = r_ref[...]                       # (na, C, C)
+    Gb = g_ref[...]                      # (C, C, dt)
+    U = jax.lax.dot_general(
+        R, Gb, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)          # (na, dt)
+    contrib = jax.lax.dot_general(
+        U.astype(Gb.dtype), Gb, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(
+        o_ref.dtype)                                 # (na, C, C)
+
+    @pl.when(d == 0)
+    def _():
+        o_ref[...] = contrib
+
+    @pl.when(d != 0)
+    def _():
+        o_ref[...] = o_ref[...] + contrib
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dtile", "acc_dtype", "interpret"))
+def gcontract_ata_pallas(R, G, dtile=128, acc_dtype=jnp.float32,
+                         interpret=False):
+    """(na, C, C) rotated canvases + (C, C, p_pad) hat constant ->
+    (na, C, C) A^T A canvas cotangents, G streamed once (d-tiled grid).
+
+    ``acc_dtype``: the cross-tile accumulator. Mosaic requires 128-lane
+    blocks, so at 256^2/60 views the f32 accumulator does not fit VMEM
+    next to the double-buffered G block — the bf16 accumulator (3 grid
+    steps of similar-scale contributions) is the price of the single
+    G stream there."""
+    na, C = R.shape[0], R.shape[1]
+    p_pad = G.shape[2]
+    assert p_pad % dtile == 0
+    return pl.pallas_call(
+        _gcontract_ata_kernel,
+        grid=(p_pad // dtile,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(126e6)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # R whole
+            pl.BlockSpec((C, C, dtile), lambda d: (0, 0, d),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((na, C, C), jnp.dtype(acc_dtype)),
+        interpret=interpret,
+    )(R, G)

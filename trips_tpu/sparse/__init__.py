@@ -1,7 +1,9 @@
 from .banded import BandedProjector
+from .banded_buckets import BucketedBandedProjector
 from .bsr import BsrOperator
 from .dynamic_banded import DynamicBandedOperator
 from .ell import EllOperator
 
 __all__ = ["EllOperator", "BsrOperator", "BandedProjector",
+           "BucketedBandedProjector",
            "DynamicBandedOperator"]

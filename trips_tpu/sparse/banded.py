@@ -113,6 +113,89 @@ def _pack_angle(coo_d, coo_i, coo_c, coo_v, n, p, n_groups, n_pad=None):
             P.astype(np.int32))
 
 
+def _pack_groups(A, nx, views, angles, n_groups):
+    """Shared pack pipeline: angle-major matrix -> per-angle pack results
+    split by drive orientation. Returns (packs, idx, angles, p, n_pad)
+    where packs[dr] is a list of ``_pack_angle`` results and idx[dr] the
+    matching global angle ids."""
+    angles = (np.linspace(0, np.pi, views, endpoint=False)
+              if angles is None else np.asarray(angles))
+    coo = A.tocoo()
+    p = A.shape[0] // len(angles)
+    n = nx
+    # lane-align the roll axis so every grid size gets the Pallas
+    # kernel (ROADMAP r3 item 3); padded lines are zero-weight
+    n_pad = -(-n // 128) * 128
+    if n_pad % n_groups:
+        raise ValueError(
+            f"n_groups={n_groups} must divide the padded grid "
+            f"{n_pad} (nx={n} padded to the next multiple of 128); "
+            f"pick n_groups from the divisors of {n_pad}.")
+    drive_rows = np.abs(np.cos(angles)) >= np.abs(np.sin(angles))
+    packs = {True: [], False: []}
+    idx = {True: [], False: []}
+    # int32 throughout: these feed indexing and the native pack; the
+    # int64 casts were ~30% of STEMPO-scale pack time
+    d_of = (coo.row % p).astype(np.int32, copy=False)
+    i_img = (coo.col // nx).astype(np.int32, copy=False)
+    j_img = (coo.col % nx).astype(np.int32, copy=False)
+    vals = (coo.data if coo.data.dtype == np.float32
+            else coo.data.astype(np.float32))
+    # csr->coo rows are sorted, so angles are contiguous slices —
+    # avoids one full boolean-mask pass over the nnz per angle; for
+    # CSR input the bounds come straight off indptr (no searchsorted)
+    if sp_isspmatrix_csr_like(A):
+        sorted_rows = True
+        bounds = np.asarray(A.indptr)[np.arange(len(angles) + 1) * p]
+    else:
+        a_of = coo.row // p
+        sorted_rows = bool(np.all(np.diff(coo.row) >= 0))
+        if sorted_rows:
+            bounds = np.searchsorted(a_of, np.arange(len(angles) + 1))
+    tasks = []
+    for a in range(len(angles)):
+        m = (slice(bounds[a], bounds[a + 1]) if sorted_rows
+             else a_of == a)
+        dr = bool(drive_rows[a])
+        line = i_img[m] if dr else j_img[m]
+        c = j_img[m] if dr else i_img[m]
+        tasks.append((dr, a, (d_of[m], line, c, vals[m])))
+    # per-angle packs are independent; the native kernel releases the
+    # GIL, so a small thread pool overlaps them across host cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1)) as ex:
+        results = list(ex.map(
+            lambda t: _pack_angle(*t[2], n, p, n_groups, n_pad=n_pad),
+            tasks))
+    for (dr, a, _), r in zip(tasks, results):
+        packs[dr].append(r)
+        idx[dr].append(a)
+    return packs, idx, angles, p, n_pad
+
+
+def _stack_packs(group, n_pad, p, p_pad, n_groups, out_dtype):
+    """Stack a list of per-angle pack results into (W, S, P) arrays at the
+    group-wide T = max T_a."""
+    if not group:
+        z = np.zeros((0, n_pad), np.int32)
+        return (np.zeros((0, 1, n_pad, p_pad), out_dtype), z,
+                np.zeros((0, n_groups, p_pad), np.int32))
+    T = max(T_a for _, T_a, _, _ in group)
+    # single allocation in the target dtype, filled by scatter —
+    # no per-angle W materialization, no pad/stack/astype copies
+    from ..native import scatter_fill
+
+    W = np.zeros((len(group), T, n_pad, p_pad), out_dtype)
+    for k, ((t, ii, dd, vv), _, _, _) in enumerate(group):
+        if not scatter_fill(t, ii, dd, vv, W[k]):
+            W[k, t, ii, dd] = vv
+    S = np.stack([s for _, _, s, _ in group])
+    P = np.stack([np.pad(pp, ((0, 0), (0, p_pad - p)), mode="edge")
+                  for _, _, _, pp in group])
+    return W, S, P
+
+
 class BandedProjector(LinearOperator):
     """Exact banded repack of an angle-major projector matrix."""
 
@@ -150,83 +233,14 @@ class BandedProjector(LinearOperator):
                        dtype=None, lane_pad=128, prefer_pallas=True,
                        batched_groups=False):
         """Pack an angle-major fan/parallel matrix (rows = a*p + d)."""
-        angles = (np.linspace(0, np.pi, views, endpoint=False)
-                  if angles is None else np.asarray(angles))
-        coo = A.tocoo()
-        p = A.shape[0] // len(angles)
-        n = nx
-        # lane-align the roll axis so every grid size gets the Pallas
-        # kernel (ROADMAP r3 item 3); padded lines are zero-weight
-        n_pad = -(-n // 128) * 128
-        if n_pad % n_groups:
-            raise ValueError(
-                f"n_groups={n_groups} must divide the padded grid "
-                f"{n_pad} (nx={n} padded to the next multiple of 128); "
-                f"pick n_groups from the divisors of {n_pad}.")
-        drive_rows = np.abs(np.cos(angles)) >= np.abs(np.sin(angles))
-        packs = {True: [], False: []}
-        idx = {True: [], False: []}
-        # int32 throughout: these feed indexing and the native pack; the
-        # int64 casts were ~30% of STEMPO-scale pack time
-        d_of = (coo.row % p).astype(np.int32, copy=False)
-        i_img = (coo.col // nx).astype(np.int32, copy=False)
-        j_img = (coo.col % nx).astype(np.int32, copy=False)
-        vals = (coo.data if coo.data.dtype == np.float32
-                else coo.data.astype(np.float32))
-        # csr->coo rows are sorted, so angles are contiguous slices —
-        # avoids one full boolean-mask pass over the nnz per angle; for
-        # CSR input the bounds come straight off indptr (no searchsorted)
-        if sp_isspmatrix_csr_like(A):
-            sorted_rows = True
-            bounds = np.asarray(A.indptr)[
-                np.arange(len(angles) + 1) * p]
-        else:
-            a_of = coo.row // p
-            sorted_rows = bool(np.all(np.diff(coo.row) >= 0))
-            if sorted_rows:
-                bounds = np.searchsorted(a_of, np.arange(len(angles) + 1))
-        tasks = []
-        for a in range(len(angles)):
-            m = (slice(bounds[a], bounds[a + 1]) if sorted_rows
-                 else a_of == a)
-            dr = bool(drive_rows[a])
-            line = i_img[m] if dr else j_img[m]
-            c = j_img[m] if dr else i_img[m]
-            tasks.append((dr, a, (d_of[m], line, c, vals[m])))
-        # per-angle packs are independent; the native kernel releases the
-        # GIL, so a small thread pool overlaps them across host cores
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1)) \
-                as ex:
-            results = list(ex.map(
-                lambda t: _pack_angle(*t[2], n, p, n_groups, n_pad=n_pad),
-                tasks))
-        for (dr, a, _), r in zip(tasks, results):
-            packs[dr].append(r)
-            idx[dr].append(a)
-
+        packs, idx, angles, p, n_pad = _pack_groups(A, nx, views, angles,
+                                                    n_groups)
         p_pad = -(-p // lane_pad) * lane_pad
         out_dtype = np.float32 if dtype is None else dtype
 
         def stack(group):
-            if not group:
-                z = np.zeros((0, n_pad), np.int32)
-                return (np.zeros((0, 1, n_pad, p_pad), out_dtype), z,
-                        np.zeros((0, n_groups, p_pad), np.int32))
-            T = max(T_a for _, T_a, _, _ in group)
-            # single allocation in the target dtype, filled by scatter —
-            # no per-angle W materialization, no pad/stack/astype copies
-            from ..native import scatter_fill
-
-            W = np.zeros((len(group), T, n_pad, p_pad), out_dtype)
-            for k, ((t, ii, dd, vv), _, _, _) in enumerate(group):
-                if not scatter_fill(t, ii, dd, vv, W[k]):
-                    W[k, t, ii, dd] = vv
-            S = np.stack([s for _, _, s, _ in group])
-            P = np.stack([np.pad(pp, ((0, 0), (0, p_pad - p)), mode="edge")
-                          for _, _, _, pp in group])
-            return W, S, P
+            return _stack_packs(group, n_pad, p, p_pad, n_groups,
+                                out_dtype)
 
         Wr, Sr, Pr = stack(packs[True])
         Wc, Sc, Pc = stack(packs[False])
