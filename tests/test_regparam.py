@@ -206,3 +206,24 @@ def test_gsvd_reconstruction(rng):
     U, V, X, C, S = gsvd(A, B)
     np.testing.assert_allclose(U @ C @ X.T, A, atol=1e-9)
     np.testing.assert_allclose(V @ S @ X.T, B, atol=1e-9)
+
+
+def test_gsvd_jit_matches_host(rng):
+    """Jittable GSVD: same factorization quality and the same generalized
+    spectrum as the host construction (TGSVD consumes C's diagonal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trips_tpu.utils.gsvd import gsvd, gsvd_jit
+
+    for (m, n, p) in ((20, 15, 12), (16, 16, 16), (30, 12, 8)):
+        A = rng.standard_normal((m, p))
+        B = rng.standard_normal((n, p))
+        U, V, X, C, S = jax.jit(gsvd_jit)(jnp.asarray(A), jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(U @ C @ X.T), A, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(V @ S @ X.T), B, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(C.T @ C + S.T @ S), np.eye(p), atol=1e-10)
+        Uh, Vh, Xh, Ch, Sh = gsvd(A, B)
+        np.testing.assert_allclose(np.diag(np.asarray(C))[: min(m, p)],
+                                   np.diag(Ch)[: min(m, p)], atol=1e-8)

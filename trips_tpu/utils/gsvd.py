@@ -91,3 +91,65 @@ def gsvd(A, B):
     U, V, Z, C, S = csd(Q[:p, :], Q[p:, :])
     X = R.T @ Z
     return QA @ U, QB @ V, X, C, S
+
+
+def gsvd_jit(A, B, tol=1e-12):
+    """Jittable device twin of :func:`gsvd` (ROADMAP parity gap "GSVD at
+    scale"): same construction (QR of the stacked R factors + Van Loan
+    CSD) in jnp, so TGSVD-style solves and tgsvd truncation selection can
+    run inside one device program.
+
+    Returns (U, V, X, C, S) with A = U C X^T, B = V S X^T, cosines
+    ascending. Difference vs the host version: V's null-sine columns
+    (s_i <= tol, a measure-zero configuration for the ill-posed pencils
+    this serves) are completed by a deterministic Householder QR of the
+    masked sine block rather than the host's Gram-Schmidt sweep — V stays
+    orthonormal and V S Z^T == Q2 still holds for every live column.
+    Shapes must satisfy m >= n >= p (checked at trace time).
+    """
+    import jax.numpy as jnp
+
+    m1, p = A.shape
+    m2, p2 = B.shape
+    if p != p2 or not (m1 >= m2 >= p):
+        raise ValueError(
+            "Invalid input dimensions. A should be of size mxp, and B "
+            "should be of size nxp with m >= n >= p.")
+    QA, RA = jnp.linalg.qr(A, mode="reduced")
+    QB, RB = jnp.linalg.qr(B, mode="reduced")
+    Q, R = jnp.linalg.qr(jnp.concatenate([RA, RB], axis=0), mode="reduced")
+    Q1, Q2 = Q[:p, :], Q[p:, :]
+
+    n = Q2.shape[0]
+    U, c, Zt = jnp.linalg.svd(Q1)
+    q = min(p, Q1.shape[0])
+    # ascending cosines (the reference's flipped ordering)
+    U = U.at[:, :q].set(U[:, q - 1::-1])
+    c = jnp.clip(c[::-1], 0.0, 1.0)
+    Z = Zt.T
+    Z = Z.at[:, :q].set(Z[:, q - 1::-1])
+
+    c_full = jnp.zeros((p,), A.dtype).at[:q].set(c)
+    s = jnp.sqrt(jnp.clip(1.0 - c_full**2, 0.0, None))
+    Sblock = Q2 @ Z
+    qs = min(n, p)
+    live = s[:qs] > tol
+    V0 = jnp.where(live[None, :],
+                   Sblock[:, :qs] / jnp.maximum(s[:qs], tol)[None, :], 0.0)
+    # orthonormal completion: QR of [V0 | I] keeps live columns (already
+    # orthonormal) and fills the rest deterministically
+    Vq, _ = jnp.linalg.qr(
+        jnp.concatenate([V0, jnp.eye(n, dtype=A.dtype)], axis=1),
+        mode="reduced")
+    # Householder QR may flip signs of the live columns; restore them
+    sign = jnp.sign(jnp.sum(Vq[:, :qs] * V0, axis=0))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    V = Vq[:, :n].at[:, :qs].multiply(sign[None, :])
+
+    C = jnp.zeros((p, p), A.dtype).at[jnp.arange(q), jnp.arange(q)].set(
+        c_full[:q])
+    qs = min(n, p)
+    S = jnp.zeros((n, p), A.dtype).at[jnp.arange(qs), jnp.arange(qs)].set(
+        s[:qs])
+    X = R.T @ Z
+    return QA @ U, QB @ V, X, C, S
