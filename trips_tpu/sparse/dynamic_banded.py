@@ -71,57 +71,65 @@ class DynamicBandedOperator(LinearOperator):
                     f"frame {t} has {len(a)} angles, expected {views0}: "
                     "the stacked sinogram layout (nt, views, p) requires a "
                     "uniform angle count per frame")
-        ops = [BandedProjector.from_scipy_fan(
-            AA[t], nx, views=None, angles=np.asarray(angles_list[t]),
-            n_groups=n_groups, dtype=dtype, lane_pad=lane_pad)
-            for t in range(nt)]
-        views = len(angles_list[0])
-        p = ops[0].det_count
-        p_pad = max((op.W_rows.shape[3] if op.W_rows.size else
-                     op.W_cols.shape[3]) for op in ops)
-        n = ops[0].n_pad  # lane-aligned roll-space size (>= nx)
+        # pack every frame on the host and scatter-fill ONE preallocated
+        # (nt, na, T, n_pad, p_pad) stack per drive group — the previous
+        # per-frame BandedProjector + pad/stack/asarray chain made 4-5
+        # full copies of the (GB-scale) slabs and dominated dynamic pack
+        # time (r4: 39 s for 3 STEMPO frames -> ~4 s)
+        from .banded import _pack_groups
+        from ..native import scatter_fill
 
-        def stack_group(get):
-            na_max = max(len(get(op)[3]) for op in ops)
-            na_max = max(na_max, 1)
-            T_max = max((get(op)[0].shape[1] if get(op)[0].size else 1)
-                        for op in ops)
-            Ws, Ss, Ps, As = [], [], [], []
-            for op in ops:
-                W, S, P, aidx = get(op)
-                W = np.asarray(W, np.float32 if dtype is None else None)
-                na = W.shape[0] if W.size else 0
-                if not W.size:
-                    W = np.zeros((0, T_max, n, p_pad), np.asarray(
-                        ops[0].W_rows if ops[0].W_rows.size else
-                        ops[0].W_cols).dtype)
-                    S = np.zeros((0, n), np.int32)
-                    P = np.zeros((0, n_groups, p_pad), np.int32)
-                W = np.pad(np.asarray(W), ((0, na_max - na),
-                                           (0, T_max - W.shape[1]),
-                                           (0, 0), (0, 0)))
-                S = np.pad(np.asarray(S), ((0, na_max - na), (0, 0)))
-                P = np.mod(np.pad(np.asarray(P),
-                                  ((0, na_max - na), (0, 0), (0, 0))), n)
-                # padded angles scatter out of range -> dropped
-                a = np.full(na_max, views, np.int32)
-                a[:na] = np.asarray(aidx, np.int32)
-                Ws.append(W)
-                Ss.append(S.astype(np.int32))
-                Ps.append(P.astype(np.int32))
-                As.append(a)
-            return (jnp.asarray(np.stack(Ws)), jnp.asarray(np.stack(Ss)),
-                    jnp.asarray(np.stack(Ps)), jnp.asarray(np.stack(As)))
+        views = views0
+        packed = []
+        p = None
+        for t in range(nt):
+            packs, idx, _, p_t, n_pad = _pack_groups(
+                AA[t], nx, None, np.asarray(angles_list[t]), n_groups)
+            if p is None:
+                p = p_t
+            elif p_t != p:
+                raise ValueError(
+                    f"frame {t} has {p_t} detectors, expected {p}")
+            packed.append((packs, idx))
+        p_pad = -(-p // lane_pad) * lane_pad
+        out_dtype = np.float32 if dtype is None else dtype
 
-        rows = stack_group(lambda op: (op.W_rows, op.shift_rows, op.P_rows,
-                                       op._angles_rows))
-        cols = stack_group(lambda op: (op.W_cols, op.shift_cols, op.P_cols,
-                                       op._angles_cols))
-        m = sum(op.shape[0] for op in ops)
+        def stack_group(dr):
+            counts = [len(idx[dr]) for _, idx in packed]
+            na_max = max(counts)
+            T_max = max((T_a for packs, _ in packed
+                         for _, T_a, _, _ in packs[dr]), default=1)
+            if na_max == 0:
+                return (jnp.asarray(np.zeros((nt, 0, 1, n_pad, p_pad),
+                                             out_dtype)),
+                        jnp.asarray(np.zeros((nt, 0, n_pad), np.int32)),
+                        jnp.asarray(np.zeros((nt, 0, n_groups, p_pad),
+                                             np.int32)),
+                        jnp.asarray(np.full((nt, 0), views, np.int32)))
+            W = np.zeros((nt, na_max, T_max, n_pad, p_pad), out_dtype)
+            S = np.zeros((nt, na_max, n_pad), np.int32)
+            P = np.zeros((nt, na_max, n_groups, p_pad), np.int32)
+            Ai = np.full((nt, na_max), views, np.int32)
+            for t, (packs, idx) in enumerate(packed):
+                for k, ((tt, ii, dd, vv), _, shift, Pk) in enumerate(
+                        packs[dr]):
+                    if not scatter_fill(tt, ii, dd, vv, W[t, k]):
+                        W[t, k][tt, ii, dd] = vv
+                    S[t, k] = shift
+                    P[t, k, :, :p] = Pk
+                    P[t, k, :, p:] = Pk[:, -1:]  # edge pad (flat-stack rule)
+                    Ai[t, k] = idx[dr][k]
+            np.mod(P, n_pad, out=P)
+            return (jnp.asarray(W), jnp.asarray(S), jnp.asarray(P),
+                    jnp.asarray(Ai))
+
+        rows = stack_group(True)
+        cols = stack_group(False)
+        m = sum(At.shape[0] for At in AA)
         ncols = nt * nx * nx
-        nnz = sum(op.nnz for op in ops)
+        nnz = sum(At.nnz for At in AA)
         return cls((rows, cols), (m, ncols), nx, p, views, n_groups, nnz,
-                   nt, n_pad=ops[0].n_pad)
+                   nt, n_pad=n_pad)
 
     @property
     def stored_bytes(self):
