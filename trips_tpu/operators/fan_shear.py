@@ -274,18 +274,20 @@ class ShearFanProjector(LinearOperator):
         return xt.astype(y.dtype)
 
     def _ata_plan(self):
-        """(dtile, acc_dtype) whose VMEM plan fits — R (na, C, C) in the G
-        dtype + the accumulator + a double-buffered (C, C, 128) G block
-        (Mosaic requires 128-lane blocks). Prefers the f32 accumulator;
-        falls back to the G dtype, then to the matvec/rmatvec pair
-        (None)."""
+        """(dtile, acc_dtype) whose VMEM plan fits — R (na, C*C) in the G
+        dtype + the accumulator + the per-tile contribution + a
+        double-buffered (64, C*C) detector-major G block. Prefers the f32
+        accumulator; falls back to the G dtype, then to the
+        matvec/rmatvec pair (None)."""
         C, na = self._C, self.n_angles
         gsz = self.G.dtype.itemsize
-        gbuf = 2 * C * C * 128 * gsz
+        dtile = 64
+        gbuf = 2 * dtile * C * C * gsz
         for acc in (jnp.float32, self.G.dtype):
-            need = na * C * C * (gsz + jnp.dtype(acc).itemsize) + gbuf
-            if need < 126e6:
-                return 128, jnp.dtype(acc)
+            a = jnp.dtype(acc).itemsize
+            need = na * C * C * (gsz + 2 * a) + gbuf
+            if need < 112e6:
+                return dtile, jnp.dtype(acc)
         return None
 
     def normal_matvec(self, x):

@@ -149,17 +149,25 @@ def _gcontract_ata_kernel(r_ref, g_ref, o_ref):
     G block, immediately back-project the tile's sinogram — G is streamed
     from HBM ONCE per normal-equations apply (it is read twice by the
     separate forward/adjoint einsums, and at 256^2/60 views G is 128 MB,
-    the dominant stream of the ShearFanProjector iteration)."""
+    the dominant stream of the ShearFanProjector iteration).
+
+    Operands arrive (i, c)-FLATTENED and G detector-MAJOR — R (na, C*C),
+    Gt (p_pad, C*C) — so both contractions are plain single-axis matmuls
+    (Mosaic's tpu.matmul rejects multi-dimensional contracting dims) and
+    the detector tile is a sublane-axis block, which may legally be 64
+    rows (the 128-lane-tile rule killed the (C, C, 64) layout, and the
+    full 128-detector tile plus the f32 accumulator exceeds VMEM at
+    256^2/60 views: measured 156 MB of 128)."""
     d = pl.program_id(0)
-    R = r_ref[...]                       # (na, C, C)
-    Gb = g_ref[...]                      # (C, C, dt)
+    R = r_ref[...]                       # (na, C*C)
+    Gt = g_ref[...]                      # (dt, C*C)
     U = jax.lax.dot_general(
-        R, Gb, (((1, 2), (0, 1)), ((), ())),
+        R, Gt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (na, dt)
     contrib = jax.lax.dot_general(
-        U.astype(Gb.dtype), Gb, (((1,), (2,)), ((), ())),
+        U.astype(Gt.dtype), Gt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(
-        o_ref.dtype)                                 # (na, C, C)
+        o_ref.dtype)                                 # (na, C*C)
 
     @pl.when(d == 0)
     def _():
@@ -172,7 +180,7 @@ def _gcontract_ata_kernel(r_ref, g_ref, o_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("dtile", "acc_dtype", "interpret"))
-def gcontract_ata_pallas(R, G, dtile=128, acc_dtype=jnp.float32,
+def gcontract_ata_pallas(R, G, dtile=64, acc_dtype=jnp.float32,
                          interpret=False):
     """(na, C, C) rotated canvases + (C, C, p_pad) hat constant ->
     (na, C, C) A^T A canvas cotangents, G streamed once (d-tiled grid).
@@ -185,16 +193,23 @@ def gcontract_ata_pallas(R, G, dtile=128, acc_dtype=jnp.float32,
     na, C = R.shape[0], R.shape[1]
     p_pad = G.shape[2]
     assert p_pad % dtile == 0
-    return pl.pallas_call(
+    # flatten (i, c) and transpose G detector-major in XLA-land (HBM
+    # relayouts, hoisted out of solver loops) so the kernel's contractions
+    # are single-axis matmuls and the detector tile sits on the sublane
+    # axis (64-row blocks are legal there)
+    Rf = jnp.reshape(R, (na, C * C))
+    Gt = jnp.transpose(jnp.reshape(G, (C * C, p_pad)))
+    out = pl.pallas_call(
         _gcontract_ata_kernel,
         grid=(p_pad // dtile,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(126e6)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # R whole
-            pl.BlockSpec((C, C, dtile), lambda d: (0, 0, d),
+            pl.BlockSpec((dtile, C * C), lambda d: (d, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((na, C, C), jnp.dtype(acc_dtype)),
+        out_shape=jax.ShapeDtypeStruct((na, C * C), jnp.dtype(acc_dtype)),
         interpret=interpret,
-    )(R, G)
+    )(Rf, Gt)
+    return jnp.reshape(out, (na, C, C))

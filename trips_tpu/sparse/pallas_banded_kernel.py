@@ -114,11 +114,19 @@ def _roll_rows(buf, s_col, n, sign):
     return buf
 
 
-def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
+def _build_E(pm, g, n, p_pad):
+    """(n, p_pad) one-hot selection operand for group ``g``."""
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
+    return (iota_c == pm[g, :][None, :]).astype(jnp.bfloat16)
+
+
+def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched,
+               E_shared=None):
     """Sheared image -> one sinogram row. ``batched=True`` expresses the
     per-group one-hot selections as a single G-batched dot_general (no
     interleaved VPU work between MXU calls); ``False`` is the original
-    unrolled per-group loop."""
+    unrolled per-group loop. ``E_shared``: prebuilt per-group one-hots
+    (the fused A^T A kernel builds them once for both stages)."""
     p_pad = w.shape[2]
     gsize = n // n_groups
     if batched:
@@ -139,9 +147,9 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched):
             (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
         return jnp.sum(Wb.astype(jnp.float32) * U, axis=(0, 1))
     acc = jnp.zeros((1, p_pad), jnp.float32)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, p_pad), 0)
     for g in range(n_groups):
-        E = (iota_c == pm[g, :][None, :]).astype(jnp.bfloat16)
+        E = (_build_E(pm, g, n, p_pad) if E_shared is None
+             else E_shared[g])
         xg = xs[g * gsize:(g + 1) * gsize, :]
         taps = jnp.concatenate(
             [xg if t == 0 else jnp.roll(xg, -t, axis=1)
@@ -162,9 +170,12 @@ def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
                              batched=batched)
 
 
-def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
+def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched,
+               E_shared=None):
     """Sinogram row -> sheared-image contribution (exact transpose of
-    ``_fwd_stage``); same batched/loop duality."""
+    ``_fwd_stage``); same batched/loop duality. With ``E_shared`` the
+    transposed contraction runs against the forward's (n, p_pad) one-hots
+    via swapped dot dimensions — no second iota/compare pass per group."""
     p_pad = w.shape[2]
     gsize = n // n_groups
     if batched:
@@ -183,14 +194,19 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched):
         for t in range(1, T):
             acc = acc + jnp.roll(Ut[t], t, axis=2)
         return acc.reshape(n, n)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
+    iota_c = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, n), 1)
+              if E_shared is None else None)
     blocks = []
     for g in range(n_groups):
-        Et = (iota_c == pm[g, :][:, None]).astype(jnp.bfloat16)
         wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
         Z = wg.astype(jnp.float32) * y[None, :]
-        U = _sel_dot(Z, Et, (((1,), (0,)), ((), ())),
-                     f32_exact).reshape(T, gsize, n)
+        if E_shared is None:
+            Et = (iota_c == pm[g, :][:, None]).astype(jnp.bfloat16)
+            U = _sel_dot(Z, Et, (((1,), (0,)), ((), ())),
+                         f32_exact).reshape(T, gsize, n)
+        else:
+            U = _sel_dot(Z, E_shared[g], (((1,), (1,)), ((), ())),
+                         f32_exact).reshape(T, gsize, n)
         blk = U[0]
         for t in range(1, T):
             blk = blk + jnp.roll(U[t], t, axis=1)
@@ -279,10 +295,16 @@ def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
     """
     a = pl.program_id(0)
     xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
+    p_pad = w_ref.shape[3]
+    E_shared = (None if batched else
+                [_build_E(p_ref[0], g, n, p_pad)
+                 for g in range(n_groups)])
     y = _fwd_stage(xs, w_ref[0], p_ref[0], n=n, n_groups=n_groups, T=T,
-                   f32_exact=f32_exact, batched=batched)
+                   f32_exact=f32_exact, batched=batched,
+                   E_shared=E_shared)
     xs_adj = _adj_stage(y, w_ref[0], p_ref[0], n=n, n_groups=n_groups,
-                        T=T, f32_exact=f32_exact, batched=batched)
+                        T=T, f32_exact=f32_exact, batched=batched,
+                        E_shared=E_shared)
     img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
 
     @pl.when(a == 0)
