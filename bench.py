@@ -257,6 +257,7 @@ CLASSES = {
     "bsr_f32_while": "exact",
     "shear_fan": "surrogate",
     "banded_bf16_g32": "quantized",
+    "banded_bf16_buck": "quantized",
     "banded_bf16_g16": "quantized",
     "bsr_bf16_while": "quantized",
     "bsr_bf16_scan": "quantized",
@@ -392,7 +393,8 @@ def main():
         else:
             run_tpu_paths = True
 
-        otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = buckf32 = None
+        otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = None
+        buckf32 = buck16 = None
 
         # ---- path 0: on-the-fly fan projector — cheapest compile (~6 s),
         # exact-matrix class, zero transfer. Runs FIRST so both headline
@@ -436,6 +438,13 @@ def main():
                     buckf32 = BucketedBandedProjector.from_scipy_fan(
                         A, nx, views, n_groups=32, n_buckets=2)
             run_path("banded_f32_buck_ata", buckf32, 150,
+                     solver=cgls_normal, stream_factor=1)
+            with phase("banded_bf16_buck_build", 60, report) as ok:
+                if ok:
+                    buck16 = BucketedBandedProjector.from_scipy_fan(
+                        A, nx, views, n_groups=32, n_buckets=3,
+                        dtype=jnp.bfloat16)
+            run_path("banded_bf16_buck_ata", buck16, 150,
                      solver=cgls_normal, stream_factor=1)
 
             # ---- path 3: banded bf16 n_groups=16 — measured champion
@@ -510,6 +519,7 @@ def main():
                 ("banded_bf16_g32_ata", bop32, cgls_normal, 1),
                 ("banded_f32_ata", bopf32, cgls_normal, 1),
                 ("banded_f32_buck_ata", buckf32, cgls_normal, 1),
+                ("banded_bf16_buck_ata", buck16, cgls_normal, 1),
                 ("shear_fan_while", sf, None, 2),
                 ("shear_fan_ata", sf, cgls_normal, 1)):
             if rop is None or report["paths"].get(rname, {}).get("gnnzps"):

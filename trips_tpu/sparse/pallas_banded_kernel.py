@@ -98,6 +98,16 @@ def _sel_dot(Mf, E, dims, f32_exact):
     return out
 
 
+def _split3(x):
+    """Exact bf16x3 decomposition of an f32 array (hi+mid+lo covers all 24
+    mantissa bits; see _f32_split3)."""
+    m1 = x.astype(jnp.bfloat16)
+    r = x - m1.astype(jnp.float32)
+    m2 = r.astype(jnp.bfloat16)
+    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (m1, m2, m3)
+
+
 def _nbits(n):
     return int(n - 1).bit_length()
 
@@ -146,15 +156,33 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched,
             w.reshape(T, n_groups, gsize, p_pad),
             (1, 0, 2, 3)).reshape(n_groups, T * gsize, p_pad)
         return jnp.sum(Wb.astype(jnp.float32) * U, axis=(0, 1))
+    # f32-exact split3: decompose the sheared image ONCE per angle —
+    # rolls/slices commute with the elementwise split, so per-group taps
+    # of the parts are bit-identical to splitting each group's taps
+    # (r4: the per-group splits were ~the whole f32-vs-bf16 compute gap)
+    presplit = f32_exact and _f32_split3()
+    parts = _split3(xs) if presplit else (xs,)
     acc = jnp.zeros((1, p_pad), jnp.float32)
     for g in range(n_groups):
         E = (_build_E(pm, g, n, p_pad) if E_shared is None
              else E_shared[g])
-        xg = xs[g * gsize:(g + 1) * gsize, :]
-        taps = jnp.concatenate(
-            [xg if t == 0 else jnp.roll(xg, -t, axis=1)
-             for t in range(T)], axis=0)
-        U = _sel_dot(taps, E, (((1,), (0,)), ((), ())), f32_exact)
+
+        def group_taps(buf):
+            xg = buf[g * gsize:(g + 1) * gsize, :]
+            return jnp.concatenate(
+                [xg if t == 0 else jnp.roll(xg, -t, axis=1)
+                 for t in range(T)], axis=0)
+
+        if presplit:
+            U = None
+            for part in parts:
+                u = jax.lax.dot_general(
+                    group_taps(part), E, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                U = u if U is None else U + u
+        else:
+            U = _sel_dot(group_taps(xs), E, (((1,), (0,)), ((), ())),
+                         f32_exact)
         wg = w[:, g * gsize:(g + 1) * gsize, :].reshape(T * gsize, p_pad)
         acc = acc + jnp.sum(wg.astype(jnp.float32) * U, axis=0,
                             keepdims=True)
