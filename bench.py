@@ -468,9 +468,15 @@ def main():
                         nx, views=views, dtype=jnp.float32,
                         g_dtype=jnp.bfloat16)
             run_path("shear_fan_while", sf, 240)
-            # fused A^T A: G streamed once per iteration (r4 kernel)
-            run_path("shear_fan_ata", sf, 150, solver=cgls_normal,
-                     stream_factor=1)
+            # fused A^T A: G streamed once per iteration (r4 kernel;
+            # default-off — measured a wash vs the einsum pair — but
+            # recorded here so the artifact tracks it per chip state)
+            os.environ["TRIPS_TPU_SHEAR_ATA"] = "1"
+            try:
+                run_path("shear_fan_ata", sf, 150, solver=cgls_normal,
+                         stream_factor=1)
+            finally:
+                os.environ.pop("TRIPS_TPU_SHEAR_ATA", None)
 
         # ---- path 5: stored BSR bf16/int8 (32,128) — round-1 champions -
         if run_tpu_paths and remaining() > 150:
@@ -520,8 +526,7 @@ def main():
                 ("banded_f32_ata", bopf32, cgls_normal, 1),
                 ("banded_f32_buck_ata", buckf32, cgls_normal, 1),
                 ("banded_bf16_buck_ata", buck16, cgls_normal, 1),
-                ("shear_fan_while", sf, None, 2),
-                ("shear_fan_ata", sf, cgls_normal, 1)):
+                ("shear_fan_while", sf, None, 2)):
             if rop is None or report["paths"].get(rname, {}).get("gnnzps"):
                 continue
             if remaining() < 90:

@@ -46,6 +46,8 @@ exact-Siddon matrix at measurement-noise level is pinned by tests
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,11 @@ class ShearFanProjector(LinearOperator):
         # ---- stage-B constant: built lazily on device -------------------
         self._g_dtype = g_dtype
         self.G = self._build_g()
+        # detector-major flattened layout for the fused-A^T A kernel,
+        # stored once — transposing 100+ MB inside the solver loop is not
+        # reliably hoisted by XLA and costs more than the stream it saves
+        self.Gt = jnp.transpose(
+            jnp.reshape(self.G, (self._C * self._C, self.G.shape[2])))
 
     def _build_g(self):
         """(C, C, p_pad) hat-weight constant, from iota arithmetic on
@@ -291,13 +298,20 @@ class ShearFanProjector(LinearOperator):
         return None
 
     def normal_matvec(self, x):
-        """x -> A^T A x with G streamed from HBM ONCE: forward-contract and
-        back-project each detector tile of G inside one Pallas pass
-        (``pallas_shear.gcontract_ata_pallas``). The separate
-        matvec/rmatvec pair reads G twice per CGLS iteration, and G is the
-        dominant stream of this operator (128 MB bf16 at 256^2/60 views) —
-        the same economy ``_ata_kernel`` gives the banded format."""
-        plan = self._ata_plan() if self._use_pallas() else None
+        """x -> A^T A x.
+
+        A fused Pallas kernel that streams G from HBM once per apply
+        exists (``pallas_shear.gcontract_ata_pallas``; the pair reads G
+        twice, 2x123 MB bf16 at 256^2/60 views) but measured a WASH to
+        -7% against XLA's well-pipelined einsum pair across chip states
+        (r4: 2.29 vs 2.14 ms/iter and 2.22 vs 2.14; it won 1.32x only in
+        one heavily-degraded-chip window) — the kernel's whole-R +
+        64-row-G-tile residency does not overlap DMA/compute as well as
+        XLA's own schedule. Default: the pair; set TRIPS_TPU_SHEAR_ATA=1
+        to use the fused kernel."""
+        use_kernel = os.environ.get("TRIPS_TPU_SHEAR_ATA", "0") == "1"
+        plan = (self._ata_plan()
+                if use_kernel and self._use_pallas() else None)
         if plan is None:
             return self.rmatvec(self.matvec(x))
         from .pallas_shear import gcontract_ata_pallas
@@ -305,7 +319,7 @@ class ShearFanProjector(LinearOperator):
         dtile, acc_dtype = plan
         X = x.reshape(self.ny, self.nx).astype(self.dtype_)
         R = self._rotate_pallas(X)                       # (na, C, C)
-        Radj = gcontract_ata_pallas(R, self.G, dtile=dtile,
+        Radj = gcontract_ata_pallas(R, self.Gt, dtile=dtile,
                                     acc_dtype=acc_dtype).astype(
             self.G.dtype)
         xt = self._rotate_adjoint_pallas(Radj).reshape(-1)
@@ -320,7 +334,7 @@ class ShearFanProjector(LinearOperator):
 
 register_op(
     ShearFanProjector,
-    ["G", "_kx", "_fx", "_ky", "_fy"],
+    ["G", "Gt", "_kx", "_fx", "_ky", "_fy"],
     ["nx", "ny", "det_count", "n_angles", "shape", "dtype_", "_C",
      "_kgroups", "_kq", "_so", "_od", "_dw", "_g_dtype"],
 )

@@ -180,7 +180,7 @@ def _gcontract_ata_kernel(r_ref, g_ref, o_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("dtile", "acc_dtype", "interpret"))
-def gcontract_ata_pallas(R, G, dtile=64, acc_dtype=jnp.float32,
+def gcontract_ata_pallas(R, Gt, dtile=64, acc_dtype=jnp.float32,
                          interpret=False):
     """(na, C, C) rotated canvases + (C, C, p_pad) hat constant ->
     (na, C, C) A^T A canvas cotangents, G streamed once (d-tiled grid).
@@ -191,14 +191,13 @@ def gcontract_ata_pallas(R, G, dtile=64, acc_dtype=jnp.float32,
     steps of similar-scale contributions) is the price of the single
     G stream there."""
     na, C = R.shape[0], R.shape[1]
-    p_pad = G.shape[2]
+    if Gt.ndim == 3:  # accept the (C, C, p_pad) layout (tests/interpret)
+        Gt = jnp.transpose(jnp.reshape(Gt, (C * C, Gt.shape[2])))
+    p_pad = Gt.shape[0]
     assert p_pad % dtile == 0
-    # flatten (i, c) and transpose G detector-major in XLA-land (HBM
-    # relayouts, hoisted out of solver loops) so the kernel's contractions
-    # are single-axis matmuls and the detector tile sits on the sublane
-    # axis (64-row blocks are legal there)
+    # (i, c) flattened, G detector-major: single-axis matmuls, and the
+    # detector tile sits on the sublane axis (64-row blocks are legal)
     Rf = jnp.reshape(R, (na, C * C))
-    Gt = jnp.transpose(jnp.reshape(G, (C * C, p_pad)))
     out = pl.pallas_call(
         _gcontract_ata_kernel,
         grid=(p_pad // dtile,),
