@@ -159,3 +159,38 @@ def test_native_projector_matches_numpy():
         nat._lib, nat._tried = saved
     assert abs(A_native - A_np).max() < 1e-10
     assert abs(Ap_native - Ap_np).max() < 1e-10
+
+
+def test_device_operator_prefers_banded_with_geometry():
+    """With fan geometry metadata + f32, the device wrapper returns the
+    champion bucketed banded pack (exact matrix); BSR/ELL otherwise."""
+    from trips_tpu.problems.tomography import device_sparse_operator
+    from trips_tpu.sparse import BucketedBandedProjector, EllOperator
+
+    nx, views = 32, 8
+    angles = np.linspace(0, np.pi, views, endpoint=False)
+    A = fan_beam_matrix(nx, angles=angles).astype(np.float32)
+    op = device_sparse_operator(A, nx=nx, angles=angles,
+                                prefer="banded")
+    assert isinstance(op, BucketedBandedProjector)
+    d = abs(op.to_scipy() - A.astype(np.float64))
+    assert (d.max() if d.nnz else 0.0) == 0.0
+    # platform default off-TPU stays ELL
+    op2 = device_sparse_operator(A, nx=nx, angles=angles)
+    assert isinstance(op2, EllOperator)
+    # solver end-to-end through the banded wrapper
+    from trips_tpu.solvers import GKS
+    from trips_tpu.operators import FirstDerivative2D
+
+    from trips_tpu.problems.phantoms import shepp_logan
+
+    xt = np.asarray(shepp_logan(nx)).reshape(-1)
+    b = A @ xt
+    x, info = GKS(op, b, FirstDerivative2D(nx, nx), projection_dim=3,
+                  n_iter=10, regparam="gcv", x_true=xt)
+    x2, info2 = GKS(EllOperator.from_scipy(A), b,
+                    FirstDerivative2D(nx, nx), projection_dim=3,
+                    n_iter=10, regparam="gcv", x_true=xt)
+    # format parity: same solve through the exact banded pack and ELL
+    assert (np.linalg.norm(np.asarray(x) - np.asarray(x2))
+            / np.linalg.norm(np.asarray(x2))) < 1e-3

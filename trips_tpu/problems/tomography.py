@@ -22,13 +22,41 @@ from . import phantoms as phantom
 from .projector import fan_beam_matrix
 
 
-def device_sparse_operator(A_csr, prefer_bsr=None, dtype=np.float32):
-    """Wrap a host CSR matrix as the best device operator for the backend."""
+def device_sparse_operator(A_csr, prefer_bsr=None, dtype=np.float32,
+                           nx=None, angles=None, prefer=None):
+    """Wrap a host CSR matrix as the best device operator for the backend.
+
+    With fan/parallel geometry metadata (``nx`` + ``angles``) on TPU the
+    exact Ta-bucketed banded pack is used — the measured champion format
+    (BENCH r4: 4.7 Gnnz/s exact f32 vs 2.1-2.4 for BSR) — falling back to
+    BSR/ELL when the pack preconditions do not hold. ``prefer`` forces
+    'banded' | 'bsr' | 'ell'."""
     import jax
 
-    if prefer_bsr is None:
-        prefer_bsr = jax.devices()[0].platform == "tpu"
-    if prefer_bsr:
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if prefer is None and prefer_bsr is not None:  # legacy flag
+        prefer = "bsr" if prefer_bsr else "ell"
+    if prefer is None:
+        if (on_tpu and nx is not None and angles is not None
+                and np.dtype(dtype) == np.float32
+                and A_csr.shape[1] == nx * nx):
+            prefer = "banded"
+        else:
+            prefer = "bsr" if on_tpu else "ell"
+    if prefer == "banded":
+        from ..sparse import BucketedBandedProjector
+
+        n_pad = -(-nx // 128) * 128
+        for ng in (32, 16, 8, 4, 2, 1):
+            if n_pad % ng == 0:
+                break
+        try:
+            return BucketedBandedProjector.from_scipy_fan(
+                A_csr, nx, views=None, angles=np.asarray(angles),
+                n_groups=ng)
+        except Exception:  # noqa: BLE001 — pack precondition -> fallback
+            prefer = "bsr" if on_tpu else "ell"
+    if prefer == "bsr":
         return BsrOperator.from_scipy(A_csr, dtype=dtype)
     return EllOperator.from_scipy(A_csr, dtype=dtype)
 
@@ -71,7 +99,9 @@ class Tomography:
             import jax
 
             dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
-        self.OP = device_sparse_operator(self.A, dtype=dtype)
+        self.OP = device_sparse_operator(
+            self.A, dtype=dtype,
+            nx=nx if nx == ny else None, angles=self.theta)
         if not self.CommitCrime:
             return self.OP, self.A, self.A_mis
         return self.OP, self.A
