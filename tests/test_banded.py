@@ -343,3 +343,31 @@ def test_bucketed_banded_matches_flat():
     np.testing.assert_allclose(
         np.asarray(buck.normal_matvec(jnp.asarray(x))),
         A.T @ (A @ x), rtol=2e-3, atol=2e-3)
+
+
+def test_bucketed_dynamic_banded_matches_plain(rng):
+    """Ta-bucketed dynamic operator == the plain dynamic stack and the
+    scipy block-diag oracle; strictly less stored stream."""
+    from scipy import sparse as sp
+
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse.dynamic_banded import (
+        BucketedDynamicBandedOperator, DynamicBandedOperator)
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, al = generate_synthetic_dynamic(
+        nx=32, nt=4, views=10, noise_level=0.0, return_angles=True)
+    plain = DynamicBandedOperator.from_frames(AA, nx, al, n_groups=8)
+    buck = BucketedDynamicBandedOperator.from_frames(AA, nx, al,
+                                                     n_groups=8,
+                                                     n_buckets=2)
+    assert buck.stored_bytes < plain.stored_bytes
+    Afull = sp.block_diag(AA, format="csr")
+    x = rng.standard_normal(buck.shape[1]).astype(np.float32)
+    y = rng.standard_normal(buck.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(buck.matvec(jnp.asarray(x))),
+                               Afull @ x, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(buck.rmatvec(jnp.asarray(y))),
+                               Afull.T @ y, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(buck.normal_matvec(jnp.asarray(x))),
+        Afull.T @ (Afull @ x), rtol=2e-4, atol=2e-4)

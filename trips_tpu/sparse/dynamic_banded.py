@@ -235,3 +235,120 @@ register_op(
     ["shape", "nx", "det_count", "views", "n_groups", "nnz", "nt",
      "n_pad"],
 )
+
+
+class BucketedDynamicBandedOperator(DynamicBandedOperator):
+    """Ta-bucketed dynamic banded operator (r4 champion trick on the
+    flagship dynamic path): within each drive group, every frame's angle
+    entries are sorted by their true tap width and split into
+    ``n_buckets`` equal-count buckets, each stacked at its own T — the
+    same zero-compute stream cut that made ``BucketedBandedProjector``
+    the static champion (bench r4: bf16 bucketed fused A^T A 10.28 Gnnz/s
+    vs 8.46 flat). Same exact per-frame matrices; the parent's vmapped
+    applies run unchanged over the per-bucket groups."""
+
+    def __init__(self, stacks, is_cols, shape, nx, p, views, n_groups,
+                 nnz, nt, n_pad):
+        self.stacks = tuple(tuple(s) for s in stacks)
+        self.is_cols = tuple(bool(f) for f in is_cols)
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.n_pad = n_pad
+        self.det_count = p
+        self.views = views
+        self.n_groups = n_groups
+        self.nnz = nnz
+        self.nt = nt
+
+    def _groups(self):
+        return tuple((W, S, Pm, Ai, isc)
+                     for (W, S, Pm, Ai), isc in zip(self.stacks,
+                                                    self.is_cols))
+
+    @property
+    def stored_bytes(self):
+        return sum(W.size * W.dtype.itemsize
+                   + (S.size + Pm.size + Ai.size) * 4
+                   for W, S, Pm, Ai in self.stacks)
+
+    @classmethod
+    def from_frames(cls, AA, nx, angles_list, n_groups=32, dtype=None,
+                    lane_pad=128, n_buckets=2):
+        from .banded import _pack_groups
+        from ..native import scatter_fill
+
+        nt = len(AA)
+        assert len(angles_list) == nt
+        views = len(angles_list[0])
+        for t, a in enumerate(angles_list):
+            if len(a) != views:
+                raise ValueError(
+                    f"frame {t} has {len(a)} angles, expected {views}")
+        packed = []
+        p = None
+        for t in range(nt):
+            packs, idx, _, p_t, n_pad = _pack_groups(
+                AA[t], nx, None, np.asarray(angles_list[t]), n_groups)
+            if p is None:
+                p = p_t
+            elif p_t != p:
+                raise ValueError(
+                    f"frame {t} has {p_t} detectors, expected {p}")
+            packed.append((packs, idx))
+        p_pad = -(-p // lane_pad) * lane_pad
+        out_dtype = np.float32 if dtype is None else dtype
+
+        stacks, flags = [], []
+        for dr in (True, False):
+            na_max = max(len(idx[dr]) for _, idx in packed)
+            if na_max == 0:
+                continue
+            # per frame: entries ordered by tap width (pads = width 0
+            # first), so bucket b holds every frame's b-th Ta quantile
+            per_frame = []
+            for packs, idx in packed:
+                ent = [(T_a, pr, sh, Pk, idx[dr][k])
+                       for k, (pr, T_a, sh, Pk) in enumerate(packs[dr])]
+                ent += [(0, None, None, None, views)] * (na_max - len(ent))
+                ent.sort(key=lambda e: e[0])
+                per_frame.append(ent)
+            parts = np.array_split(np.arange(na_max),
+                                   min(n_buckets, na_max))
+            for part in parts:
+                if not len(part):
+                    continue
+                T_b = max(max(per_frame[t][k][0] for k in part)
+                          for t in range(nt))
+                T_b = max(T_b, 1)
+                W = np.zeros((nt, len(part), T_b, n_pad, p_pad), out_dtype)
+                S = np.zeros((nt, len(part), n_pad), np.int32)
+                P = np.zeros((nt, len(part), n_groups, p_pad), np.int32)
+                Ai = np.full((nt, len(part)), views, np.int32)
+                for t in range(nt):
+                    for j, k in enumerate(part):
+                        T_a, pr, sh, Pk, aid = per_frame[t][k]
+                        if pr is None:
+                            continue
+                        tt, ii, dd, vv = pr
+                        if not scatter_fill(tt, ii, dd, vv, W[t, j]):
+                            W[t, j][tt, ii, dd] = vv
+                        S[t, j] = sh
+                        P[t, j, :, :p] = Pk
+                        P[t, j, :, p:] = Pk[:, -1:]
+                        Ai[t, j] = aid
+                np.mod(P, n_pad, out=P)
+                stacks.append((jnp.asarray(W), jnp.asarray(S),
+                               jnp.asarray(P), jnp.asarray(Ai)))
+                flags.append(not dr)
+        m = sum(At.shape[0] for At in AA)
+        nnz = sum(At.nnz for At in AA)
+        return cls(stacks, flags, (m, nt * nx * nx), nx, p, views,
+                   n_groups, nnz, nt, n_pad)
+
+
+register_op(
+    BucketedDynamicBandedOperator,
+    ["stacks"],
+    ["is_cols", "shape", "nx", "det_count", "views", "n_groups", "nnz",
+     "nt", "n_pad"],
+)

@@ -47,16 +47,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _vmem_limit(W):
-    """Scoped-VMEM request: W slab double-buffered + stage intermediates.
-    The compiler default (16 MB) rejects the larger packs (g16 bf16 T=26,
-    f32) even though they fit physical VMEM; ask for what the kernel
-    actually needs, capped well under the hardware budget."""
+def _vmem_limit(W, n_groups=32):
+    """Scoped-VMEM request: W slab double-buffered + stage intermediates
+    + the shared per-group one-hot list. The compiler default (16 MB)
+    rejects the larger packs (g16 bf16 T=26, f32) even though they fit
+    physical VMEM; ask for what the kernel actually needs, capped well
+    under the hardware budget."""
     block = int(np.prod(W.shape[1:])) * W.dtype.itemsize
+    n, p_pad = int(W.shape[2]), int(W.shape[3])
+    # E_shared (ATA): n_groups (n, p_pad) bf16 one-hots held across both
+    # stages — 26 MB at 640^2/g32 (a small-T bucket's 5*block margin
+    # alone under-budgeted this by 424 KB, r4)
+    e_bytes = n_groups * n * p_pad * 2
     # measured: the fused A^T A kernel keeps ~5 slab-equivalents live
     # (double-buffered W + both stages' f32 intermediates) at STEMPO
     # scale (T=18, 640x640 slabs)
-    return int(min(110 * 2**20, 5 * block + 24 * 2**20))
+    return int(min(110 * 2**20, 5 * block + e_bytes + 24 * 2**20))
 
 
 def _f32_split3():
@@ -270,7 +276,7 @@ def _fwd_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
         kern,
         grid=(na,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W)),
+            vmem_limit_bytes=_vmem_limit(W, n_groups)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -297,7 +303,7 @@ def _adj_call(Y, W, S, Pm, n_groups, interpret=False, batched=False):
         kern,
         grid=(na,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W)),
+            vmem_limit_bytes=_vmem_limit(W, n_groups)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -355,7 +361,7 @@ def _ata_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
         kern,
         grid=(na,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W)),
+            vmem_limit_bytes=_vmem_limit(W, n_groups)),
         in_specs=[
             pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
                          memory_space=pltpu.VMEM),
