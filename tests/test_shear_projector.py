@@ -1,4 +1,5 @@
 """Shear-stack projector: adjointness, matrix oracle, Joseph proximity."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,31 +83,46 @@ def test_cgls_reconstruction_parity(rng):
     op = ShearStackParallelProjector(nx, angles)
     AJ = parallel_beam_matrix(nx, angles, model="linear")
 
-    def min_err(mv, rmv):
-        b = mv(x_true)
-        e = rng.standard_normal(b.shape)
-        e *= noise * np.linalg.norm(b) / np.linalg.norm(e)
-        b = b + e
-        x = np.zeros(nx * nx)
-        r = b - mv(x)
-        t = rmv(r)
-        p = t.copy()
-        gamma = t @ t
-        best = np.inf
-        for _ in range(60):
-            w = mv(p)
-            beta = gamma / (w @ w)
-            x = x + beta * p
-            r = r - beta * w
-            t = rmv(r)
-            gn = t @ t
-            p = t + (gn / gamma) * p
-            gamma = gn
-            best = min(best, np.linalg.norm(x - x_true)
-                       / np.linalg.norm(x_true))
-        return best
+    # ONE jitted fori_loop per operator: the previous 60-iteration python
+    # CGLS loop issued 120 un-jitted device calls through the ~30-pass
+    # shear program; late in the full suite (large live heap) that became
+    # a 25-minute pathological slowdown and timed the suite out (r4)
+    from trips_tpu.core import DenseOperator
 
-    e_shear = min_err(lambda v: np.asarray(op.matvec(jnp.asarray(v))),
-                      lambda v: np.asarray(op.rmatvec(jnp.asarray(v))))
-    e_joseph = min_err(lambda v: AJ @ v, lambda v: AJ.T @ v)
+    xt_j = jnp.asarray(x_true)
+
+    def min_err(A):
+        b = A.matvec(xt_j)
+        e = rng.standard_normal(b.shape)
+        e *= noise * np.linalg.norm(np.asarray(b)) / np.linalg.norm(e)
+        b = b + jnp.asarray(e)
+
+        @jax.jit
+        def run(b):
+            x0 = jnp.zeros(nx * nx, b.dtype)
+            r0 = b - A.matvec(x0)
+            t0 = A.rmatvec(r0)
+            xt_n = jnp.linalg.norm(xt_j)
+
+            def body(_, carry):
+                x, r, p, gamma, best = carry
+                w = A.matvec(p)
+                beta = gamma / jnp.vdot(w, w)
+                x = x + beta * p
+                r = r - beta * w
+                t = A.rmatvec(r)
+                gn = jnp.vdot(t, t)
+                p = t + (gn / gamma) * p
+                best = jnp.minimum(best,
+                                   jnp.linalg.norm(x - xt_j) / xt_n)
+                return (x, r, p, gn, best)
+
+            carry = (x0, r0, t0, jnp.vdot(t0, t0), jnp.asarray(jnp.inf,
+                                                               b.dtype))
+            return jax.lax.fori_loop(0, 60, body, carry)[4]
+
+        return float(run(b))
+
+    e_shear = min_err(op)
+    e_joseph = min_err(DenseOperator(np.asarray(AJ.todense())))
     assert e_shear < e_joseph * 1.3 + 0.01, (e_shear, e_joseph)
