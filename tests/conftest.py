@@ -29,3 +29,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The XLA CPU backend segfaults inside ``backend_compile_and_load``
+    after ~175 modules' worth of compilations accumulate in one process
+    (r4: reproduced twice at ~93-98% of the grown suite, with and
+    without the native extension loaded; 126 GB RAM free, so not
+    memory pressure). Dropping the caches at module boundaries keeps the
+    per-process executable count bounded; cross-module cache reuse was
+    negligible anyway (each module compiles its own shapes)."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -20,6 +20,8 @@ _tried = False
 
 def load():
     global _lib, _tried
+    if os.environ.get("TRIPS_TPU_NO_NATIVE") == "1":
+        return None
     if _lib is not None or _tried:
         return _lib
     _tried = True
