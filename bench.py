@@ -436,13 +436,13 @@ def main():
                     from trips_tpu.sparse import BucketedBandedProjector
 
                     buckf32 = BucketedBandedProjector.from_scipy_fan(
-                        A, nx, views, n_groups=32, n_buckets=2)
+                        A, nx, views, n_groups=32, n_buckets=4)
             run_path("banded_f32_buck_ata", buckf32, 150,
                      solver=cgls_normal, stream_factor=1)
             with phase("banded_bf16_buck_build", 60, report) as ok:
                 if ok:
                     buck16 = BucketedBandedProjector.from_scipy_fan(
-                        A, nx, views, n_groups=32, n_buckets=3,
+                        A, nx, views, n_groups=32, n_buckets=4,
                         dtype=jnp.bfloat16)
             run_path("banded_bf16_buck_ata", buck16, 150,
                      solver=cgls_normal, stream_factor=1)
