@@ -273,7 +273,9 @@ class BucketedDynamicBandedOperator(DynamicBandedOperator):
 
     @classmethod
     def from_frames(cls, AA, nx, angles_list, n_groups=32, dtype=None,
-                    lane_pad=128, n_buckets=2):
+                    lane_pad=128, n_buckets=3):
+        # n_buckets=3 is the measured optimum at STEMPO-scale frames
+        # (r4: plain 3.48 -> nb2 4.50 -> nb3 5.05 Gnnz/s)
         from .banded import _pack_groups
         from ..native import scatter_fill
 
