@@ -303,18 +303,38 @@ def main():
                 if info["exact_matrix"] and r > best_exact["rate"]:
                     best_exact.update(name=name, rate=r)
         base = report.get("baseline_gnnzps")
+        platform = str(report.get("platform", ""))[:60]
         out = {
             "metric": "spmv_nnz_per_s_cgls_tomo256x60",
             "value": round(best["rate"], 1),
             "unit": "nnz/s",
             "vs_baseline": (round(best["rate"] / (base * 1e9), 3)
                             if base and best["rate"] else None),
+            "best_path": best["name"],
             "value_exact_matrix": round(best_exact["rate"], 1),
             "best_path_exact_matrix": best_exact["name"],
+            "baseline_gnnzps": base,
+            "baseline_sentinel_gnnzps": report.get("baseline_sentinel_gnnzps"),
+            "platform": platform,
+            "nnz": report.get("nnz"),
+            "iters": report.get("iters"),
+            "report_file": "BENCH_report.json",
         }
-        out.update(report)
-        out["best_path"] = best["name"]
-        print(json.dumps(out), flush=True)
+        # Driver contract (CLAUDE.md / VERDICT r4 weak #1): stdout carries
+        # exactly ONE compact JSON line — the driver's capture window is
+        # ~2000 chars, and r3/r4's full-report line (~4 KB) truncated its own
+        # head, leaving BENCH_r03/r04.json unparseable. The per-path report
+        # goes to a side file and stderr instead.
+        report["summary"] = out
+        try:
+            with open("BENCH_report.json", "w") as f:
+                json.dump(report, f, indent=1)
+        except OSError as e:
+            log(f"could not write BENCH_report.json: {e}")
+        log("full report: " + json.dumps(report))
+        line = json.dumps(out)
+        assert len(line) < 1500, len(line)
+        print(line, flush=True)
 
     try:
         nx, views = 256, 60
