@@ -403,3 +403,77 @@ def test_sharded_dynamic_banded_single_psum_per_apply(rng):
     assert count_psums(sop.normal_matvec, x) == 1
     assert count_psums(sop.rmatvec, y) == 1
     assert count_psums(sop.matvec, x) == 0
+
+
+def test_sharded_bucketed_banded_projector(rng, mesh8):
+    """Angle-sharded Ta-bucketed pack (the r4 champion format on the mesh,
+    VERDICT r4 item 5): forward/adjoint/normal match scipy, and the
+    single-psum-per-apply economy survives the bucketing (jaxpr pin)."""
+    from trips_tpu.parallel import ShardedBucketedBandedProjector
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 32, 12
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op = BucketedBandedProjector.from_scipy_fan(A, nx, views, n_groups=8,
+                                               n_buckets=3)
+    sop = ShardedBucketedBandedProjector.from_bucketed(op, mesh8,
+                                                       axis="rows")
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               A @ x, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               A.T @ y, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sop.normal_matvec(jnp.asarray(x))),
+        A.T @ (A @ x), rtol=2e-4, atol=2e-4)
+
+    def count_psums(fn, arg):
+        return str(jax.make_jaxpr(fn)(arg)).count("psum")
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    assert count_psums(sop.normal_matvec, xj) == 1
+    assert count_psums(sop.rmatvec, yj) == 1
+    assert count_psums(sop.matvec, xj) == 0
+
+
+def test_sharded_bucketed_dynamic_banded(rng):
+    """(time x angles)-sharded bucketed dynamic operator: parity vs the
+    scipy block-diag system plus the single-psum jaxpr pin."""
+    from trips_tpu.krylov import cgls_normal
+    from trips_tpu.parallel import ShardedBucketedDynamicBandedOperator
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse.dynamic_banded import BucketedDynamicBandedOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, angles_list = \
+        generate_synthetic_dynamic(nx=16, nt=4, views=8, noise_level=0.0,
+                                   return_angles=True)
+    dop = BucketedDynamicBandedOperator.from_frames(
+        AA, nx, angles_list, n_groups=8, n_buckets=2)
+    mesh = make_mesh({"time": 2, "angles": 4})
+    sop = ShardedBucketedDynamicBandedOperator.from_dynamic(dop, mesh)
+    Afull = sp.block_diag(AA, format="csr")
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               Afull @ x, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               Afull.T @ y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(sop.normal_matvec(jnp.asarray(x))),
+        Afull.T @ (Afull @ x), rtol=2e-4, atol=5e-4)
+    xr, k = cgls_normal(sop, jnp.asarray(b.astype(np.float32)),
+                        jnp.zeros(sop.shape[1], jnp.float32), 20, 0.0)
+    err = np.linalg.norm(np.asarray(xr) - x_true) / np.linalg.norm(x_true)
+    assert err < 0.6, err
+
+    def count_psums(fn, arg):
+        return str(jax.make_jaxpr(fn)(arg)).count("psum")
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    assert count_psums(sop.normal_matvec, xj) == 1
+    assert count_psums(sop.rmatvec, yj) == 1
+    assert count_psums(sop.matvec, xj) == 0

@@ -20,7 +20,18 @@ from .sharded_bsr import ShardedBsrOperator, ShardedDynamicBsrOperator  # noqa: 
 
 __all__ += ["ShardedBsrOperator", "ShardedDynamicBsrOperator"]
 
-from .sharded_banded import ShardedBandedProjector  # noqa: E402
-from .sharded_dynamic_banded import ShardedDynamicBandedOperator  # noqa: E402
+from .sharded_banded import (  # noqa: E402
+    ShardedBandedProjector,
+    ShardedBucketedBandedProjector,
+)
+from .sharded_dynamic_banded import (  # noqa: E402
+    ShardedBucketedDynamicBandedOperator,
+    ShardedDynamicBandedOperator,
+)
 
-__all__ += ["ShardedBandedProjector", "ShardedDynamicBandedOperator"]
+__all__ += [
+    "ShardedBandedProjector",
+    "ShardedBucketedBandedProjector",
+    "ShardedBucketedDynamicBandedOperator",
+    "ShardedDynamicBandedOperator",
+]

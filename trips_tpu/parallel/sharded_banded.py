@@ -237,3 +237,75 @@ register_op(
     ["_angles_rows", "_na_rows", "_angles_cols", "_na_cols", "shape", "nx",
      "det_count", "n_groups", "nnz", "mesh", "axis", "n_pad"],
 )
+
+
+class ShardedBucketedBandedProjector(ShardedBandedProjector):
+    """Angle-sharded Ta-bucketed banded projector: the single-chip champion
+    format (``BucketedBandedProjector``, r4: +21% bf16 / +40% f32 over the
+    flat pack) carried to the mesh (VERDICT r4 item 5).
+
+    Each bucket's angle dim is padded to a multiple of the mesh axis with
+    zero-weight angles and sharded on dim 0; all buckets of both drive
+    groups run inside the SAME single shard_map program per apply, locally
+    summed, so the single-psum-per-normal/adjoint-apply economy of the flat
+    sharded operator is preserved (jaxpr-pinned in tests)."""
+
+    def __init__(self, stacks, aidxs, na_reals, is_cols, shape, nx, p,
+                 n_groups, nnz, mesh, axis, n_pad):
+        self.stacks = tuple(tuple(s) for s in stacks)
+        self.aidxs = tuple(tuple(int(a) for a in ai) for ai in aidxs)
+        self.na_reals = tuple(int(v) for v in na_reals)
+        self.is_cols = tuple(bool(f) for f in is_cols)
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.n_pad = n_pad
+        self.det_count = p
+        self.n_groups = n_groups
+        self.nnz = nnz
+        self.mesh = mesh
+        self.axis = axis
+
+    @classmethod
+    def from_bucketed(cls, op, mesh, axis: str = "angles"):
+        """Shard a ``sparse.banded_buckets.BucketedBandedProjector``."""
+        S_dev = mesh.shape[axis]
+
+        def sh(a):
+            return jax.device_put(
+                jnp.asarray(a),
+                NamedSharding(mesh, PartitionSpec(
+                    axis, *(None,) * (np.ndim(a) - 1))))
+
+        stacks, na_reals = [], []
+        for W, S, P in op.stacks:
+            W, S, P = map(np.asarray, (W, S, P))
+            na = W.shape[0]
+            na_pad = max(-(-na // S_dev) * S_dev, S_dev)
+            padn = na_pad - na
+            W = np.pad(W, ((0, padn),) + ((0, 0),) * (W.ndim - 1))
+            S = np.pad(S, ((0, padn), (0, 0)))
+            P = np.pad(P, ((0, padn), (0, 0), (0, 0)))
+            stacks.append((sh(W), sh(S), sh(P)))
+            na_reals.append(na)
+        return cls(stacks, op.aidxs, na_reals, op.is_cols, op.shape,
+                   op.nx, op.det_count, op.n_groups, op.nnz, mesh, axis,
+                   op.n_pad)
+
+    def _groups(self):
+        return tuple(
+            (W, S, P, ai, na, isc)
+            for (W, S, P), ai, na, isc in zip(self.stacks, self.aidxs,
+                                              self.na_reals, self.is_cols))
+
+    @property
+    def stored_bytes(self):
+        return sum(W.size * W.dtype.itemsize + S.size * 4 + P.size * 4
+                   for W, S, P in self.stacks)
+
+
+register_op(
+    ShardedBucketedBandedProjector,
+    ["stacks"],
+    ["aidxs", "na_reals", "is_cols", "shape", "nx", "det_count",
+     "n_groups", "nnz", "mesh", "axis", "n_pad"],
+)

@@ -255,3 +255,84 @@ register_op(
     ["shape", "nx", "n_pad", "det_count", "views", "n_groups", "nnz",
      "nt", "mesh", "t_axis", "a_axis"],
 )
+
+
+class ShardedBucketedDynamicBandedOperator(ShardedDynamicBandedOperator):
+    """(time x angles)-sharded Ta-bucketed dynamic operator: the r4
+    dynamic champion format (``BucketedDynamicBandedOperator``, +29-45%
+    over the flat stack at STEMPO scale) on the full dynamic mesh
+    (VERDICT r4 item 5).
+
+    Every bucket's angle dim is padded to a multiple of the 'angles' mesh
+    axis (zero-weight angles, out-of-range scatter ids) and sharded; all
+    buckets of both drive groups run inside the same shard_map program per
+    apply with ONE psum over 'angles' (jaxpr-pinned)."""
+
+    def __init__(self, stacks, is_cols, shape, nx, p, views, n_groups,
+                 nnz, nt, n_pad, mesh, t_axis, a_axis):
+        self.stacks = tuple(tuple(s) for s in stacks)
+        self.is_cols = tuple(bool(f) for f in is_cols)
+        self.shape = tuple(shape)
+        self.nx = nx
+        self.n_pad = n_pad
+        self.det_count = p
+        self.views = views
+        self.n_groups = n_groups
+        self.nnz = nnz
+        self.nt = nt
+        self.mesh = mesh
+        self.t_axis = t_axis
+        self.a_axis = a_axis
+
+    @classmethod
+    def from_dynamic(cls, op, mesh, t_axis: str = "time",
+                     a_axis: str = "angles"):
+        """Shard a ``sparse.dynamic_banded.BucketedDynamicBandedOperator``."""
+        T_dev = mesh.shape[t_axis]
+        A_dev = mesh.shape[a_axis]
+        if op.nt % T_dev:
+            raise ValueError(
+                f"nt={op.nt} must be a multiple of the '{t_axis}' mesh "
+                f"axis ({T_dev}); pad the frame list.")
+
+        def sh(a, spec):
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+        stacks = []
+        for (W, S, Pm, Ai) in op.stacks:
+            W, S, Pm, Ai = map(np.asarray, (W, S, Pm, Ai))
+            na = W.shape[1]
+            na_pad = max(-(-na // A_dev) * A_dev, A_dev)
+            padn = na_pad - na
+            W = np.pad(W, ((0, 0), (0, padn)) + ((0, 0),) * (W.ndim - 2))
+            S = np.pad(S, ((0, 0), (0, padn), (0, 0)))
+            Pm = np.pad(Pm, ((0, 0), (0, padn), (0, 0), (0, 0)))
+            Ai = np.pad(Ai, ((0, 0), (0, padn)), constant_values=op.views)
+            full = (t_axis, a_axis)
+            stacks.append((
+                sh(W, PartitionSpec(*full, None, None, None)),
+                sh(S, PartitionSpec(*full, None)),
+                sh(Pm, PartitionSpec(*full, None, None)),
+                sh(Ai, PartitionSpec(t_axis, None))))
+        return cls(stacks, op.is_cols, op.shape, op.nx, op.det_count,
+                   op.views, op.n_groups, op.nnz, op.nt, op.n_pad, mesh,
+                   t_axis, a_axis)
+
+    def _groups(self):
+        return tuple((W, S, Pm, Ai, isc)
+                     for (W, S, Pm, Ai), isc in zip(self.stacks,
+                                                    self.is_cols))
+
+    @property
+    def stored_bytes(self):
+        return sum(W.size * W.dtype.itemsize
+                   + (S.size + Pm.size + Ai.size) * 4
+                   for W, S, Pm, Ai in self.stacks)
+
+
+register_op(
+    ShardedBucketedDynamicBandedOperator,
+    ["stacks"],
+    ["is_cols", "shape", "nx", "det_count", "views", "n_groups", "nnz",
+     "nt", "n_pad", "mesh", "t_axis", "a_axis"],
+)
