@@ -477,3 +477,30 @@ def test_sharded_bucketed_dynamic_banded(rng):
     assert count_psums(sop.normal_matvec, xj) == 1
     assert count_psums(sop.rmatvec, yj) == 1
     assert count_psums(sop.matvec, xj) == 0
+
+
+def test_hlo_collective_audit(rng, mesh8):
+    """The compiled-HLO collective audit (bench/hlo_audit.py) measures
+    exactly one all-reduce of n_pad^2 f32 per adjoint/normal apply on the
+    sharded bucketed projector — the measured input of the ICI model
+    (VERDICT r4 item 3)."""
+    from trips_tpu.bench.hlo_audit import audit_operator
+    from trips_tpu.parallel import ShardedBucketedBandedProjector
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 16, 8
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op = BucketedBandedProjector.from_scipy_fan(A, nx, views, n_groups=8,
+                                                n_buckets=2)
+    sop = ShardedBucketedBandedProjector.from_bucketed(op, mesh8,
+                                                       axis="rows")
+    audit = audit_operator(sop)
+    for apply_name in ("rmatvec", "normal_matvec"):
+        ar = audit[apply_name]["collectives"]["all-reduce"]
+        assert ar["count"] == 1, audit[apply_name]
+        assert ar["bytes"] == op.n_pad * op.n_pad * 4, audit[apply_name]
+    # the forward's only collective is the output assembly (sinogram-sized,
+    # not weight-sized)
+    fwd_bytes = audit["matvec"]["total_bytes"]
+    assert fwd_bytes <= 4 * sop.shape[0] * 8, audit["matvec"]

@@ -177,30 +177,156 @@ def run(nx=256, views=60, iters=50, device_counts=None, formats=("banded",
     return out
 
 
-def main(out_path="SCALING.json", nx=64, views=24, iters=20):
+def functional_validation(device_counts=(1, 2, 4, 8), nx=32, views=16):
+    """Parity of the sharded bucketed applies vs scipy at every device
+    count — correctness across mesh shapes, with NO wall-clock numbers
+    (r4 postmortem: this environment runs 8 simulated devices on 2 host
+    cores, so any wall-clock 'efficiency' here measures oversubscription,
+    not the collective schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import ShardedBucketedBandedProjector, make_mesh
+    from ..problems.projector import fan_beam_matrix
+    from ..sparse.banded_buckets import BucketedBandedProjector
+
+    devices = jax.devices()
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op = BucketedBandedProjector.from_scipy_fan(A, nx, views, n_groups=8,
+                                                n_buckets=3)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    y = rng.standard_normal(A.shape[0]).astype(np.float32)
+    refs = (A @ x, A.T @ y, A.T @ (A @ x))
+    out = []
+    for nd in device_counts:
+        if nd > len(devices):
+            continue
+        mesh = make_mesh({"angles": nd}, devices=devices[:nd])
+        sop = ShardedBucketedBandedProjector.from_bucketed(
+            op, mesh, axis="angles")
+        got = (sop.matvec(jnp.asarray(x)), sop.rmatvec(jnp.asarray(y)),
+               sop.normal_matvec(jnp.asarray(x)))
+        rels = [float(np.linalg.norm(np.asarray(g, np.float64) - r)
+                      / np.linalg.norm(r))
+                for g, r in zip(got, refs)]
+        out.append({"devices": nd,
+                    "rel_err": {"matvec": rels[0], "rmatvec": rels[1],
+                                "normal_matvec": rels[2]},
+                    "ok": bool(max(rels) < 1e-3)})
+    return out
+
+
+def measured_collectives(n_devices=8, static_cfg=(256, 60),
+                         dynamic_cfg=(560, 45, 2)):
+    """Collective schedule of the real-scale sharded programs, extracted
+    from the compiled HLO (the measured input the ICI model needs;
+    VERDICT r4 item 3). Static: the flagship bench config on the bucketed
+    champion pack. Dynamic: STEMPO-real-scale parallel-beam frames on the
+    bucketed (time x angles) stack."""
+    import jax
+
+    from ..parallel import (ShardedBucketedBandedProjector,
+                            ShardedBucketedDynamicBandedOperator, make_mesh)
+    from ..problems.projector import fan_beam_matrix, parallel_beam_matrix
+    from ..sparse.banded_buckets import BucketedBandedProjector
+    from ..sparse.dynamic_banded import BucketedDynamicBandedOperator
+    from .hlo_audit import audit_operator
+
+    devices = jax.devices()[:n_devices]
+    out = {}
+
+    nx, views = static_cfg
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op = BucketedBandedProjector.from_scipy_fan(A, nx, views, n_groups=32,
+                                                n_buckets=4)
+    mesh = make_mesh({"angles": n_devices}, devices=devices)
+    sop = ShardedBucketedBandedProjector.from_bucketed(op, mesh,
+                                                       axis="angles")
+    out[f"static_tomo{nx}x{views}_bucketed_x{n_devices}"] = {
+        "nnz": int(A.nnz), "n_pad": int(op.n_pad),
+        "audit": audit_operator(sop),
+    }
+
+    nxd, viewsd, nt = dynamic_cfg
+    t_sh = 2 if n_devices % 2 == 0 else 1
+    a_sh = n_devices // t_sh
+    angles_list = [np.deg2rad(np.linspace(5 * t, 180 + 5 * t, viewsd,
+                                          endpoint=False))
+                   for t in range(nt)]
+    AA = [parallel_beam_matrix(nxd, a, det_count=nxd,
+                               model="linear").astype(np.float32) / nxd
+          for a in angles_list]
+    dop = BucketedDynamicBandedOperator.from_frames(
+        AA, nxd, angles_list, n_groups=32, n_buckets=3)
+    dmesh = make_mesh({"time": t_sh, "angles": a_sh}, devices=devices)
+    sdop = ShardedBucketedDynamicBandedOperator.from_dynamic(dop, dmesh)
+    out[f"dynamic_stempo{nxd}_nt{nt}_bucketed_{t_sh}x{a_sh}"] = {
+        "nnz": int(dop.nnz), "n_pad": int(dop.n_pad), "nt": int(nt),
+        "audit": audit_operator(sdop),
+    }
+    return out
+
+
+def main(out_path="SCALING.json", n_devices=None):
+    import os
+
     import jax
 
     platform = jax.devices()[0].platform
-    results = run(nx=nx, views=views, iters=iters)
+    if n_devices is None:
+        n_devices = min(8, len(jax.devices()))
+    measured = measured_collectives(n_devices=n_devices)
+
+    # predicted curves with the MEASURED psum payload (not the assumed
+    # n_pad^2): champion single-chip rates from BENCH_r04
+    # (bf16 bucketed fused A^T A 10.79 Gnnz/s; dynamic 560-scale 6.5)
+    static_key = next(k for k in measured if k.startswith("static"))
+    dyn_key = next(k for k in measured if k.startswith("dynamic"))
+    curves = []
+    for key, gnnzps in ((static_key, 10.79), (dyn_key, 6.5)):
+        nnz = measured[key]["nnz"]
+        psum = measured[key]["audit"]["normal_matvec"]["total_bytes"]
+        t1 = 2.0 * nnz / (gnnzps * 1e9)
+        curve = predict_ici_efficiency(t1, psum, (1, 2, 4, 8, 16, 32, 64))
+        entry = {
+            "label": key + "_measured_psum",
+            "champion_gnnzps_single_chip": gnnzps,
+            "t1_per_iter_s": t1,
+            "psum_bytes_per_apply_measured_hlo": psum,
+            "ici_bytes_per_s": V5E_ICI_BYTES_PER_S,
+            "collective_latency_s": V5E_COLLECTIVE_LATENCY_S,
+            "curve": curve,
+        }
+        if any(c["predicted_efficiency"] < 0.8 for c in curve):
+            entry["note"] = (
+                "sub-0.8 points are strong-scaling saturation of this "
+                "fixed problem (per-chip work shrinks until the "
+                "collective latency floor dominates), not a communication "
+                "bound: the per-apply collective payload is <0.2% of the "
+                "weight stream. Production-scale problems (the dynamic "
+                "config; more angles/frames per chip) stay >=0.9.")
+        curves.append(entry)
+
     artifact = {
-        "config": {"nx": nx, "views": views, "iters": iters},
         "platform": f"{platform} x{len(jax.devices())}",
-        # simulated host-platform devices share physical cores: this
-        # artifact validates that the sharded formats + collectives
-        # compile and execute at every device count, NOT ICI scaling
-        "label": ("functional_smoke_simulated_devices"
-                  if platform != "tpu" else "measured"),
-        "formats": results,
-        # analytic ICI model for the real-hardware claim (the smoke above
-        # validates plumbing only): champion tomo256x60 and the
-        # STEMPO-real-scale dynamic config (640^2 image psum, 6.5 Gnnz/s
-        # measured single-chip frame rate)
-        "predicted": [
-            predicted_section(),
-            predicted_section(nnz=5_077_264, n_pad=640,
-                              champion_gnnzps=6.5,
-                              label="stempo560_dynamic_per_frame_slab"),
-        ],
+        "host_cores": os.cpu_count(),
+        "method": (
+            "No wall-clock scaling numbers are committed from this "
+            "environment: the simulated mesh runs on fewer host cores "
+            "than devices, so wall-clock 'efficiency' measures host "
+            "oversubscription, not ICI (r4's strong-scaling smoke was "
+            "retired for exactly this reason). Instead: (1) parity of "
+            "the sharded programs at every device count, (2) collective "
+            "counts/bytes extracted from the compiled HLO of the "
+            "real-scale sharded programs - the SPMD partitioner emits "
+            "the same schedule for a TPU mesh of the same shape - "
+            "feeding (3) the analytic ICI model with measured psum "
+            "payloads."),
+        "functional_parity": functional_validation(
+            device_counts=(1, 2, 4, min(8, n_devices))),
+        "measured_collectives": measured,
+        "predicted": curves,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
