@@ -371,3 +371,104 @@ def test_bucketed_dynamic_banded_matches_plain(rng):
     np.testing.assert_allclose(
         np.asarray(buck.normal_matvec(jnp.asarray(x))),
         Afull.T @ (Afull @ x), rtol=2e-4, atol=2e-4)
+
+
+def _bucketed_ata_interpret(op, x):
+    """Replicate BucketedBandedProjector.normal_matvec on the Pallas path
+    with interpret=True (the op methods gate Pallas on a real TPU)."""
+    from trips_tpu.sparse.pallas_banded_kernel import _ata_call
+
+    n, npd = op.nx, op.n_pad
+    X = op._embed(jnp.asarray(x))
+    img = jnp.zeros((npd, npd), jnp.float32)
+    for stack, aidx, isc in zip(op.stacks, op.aidxs, op.is_cols):
+        W, S, P, sc = op._parts(stack)
+        Xg = X.T if isc else X
+        c = _ata_call(Xg, W, S, P, op.n_groups, scales=sc, ap=op.ap,
+                      interpret=True)
+        img = img + (c.T if isc else c)
+    return np.asarray(img[:n, :n].reshape(-1))
+
+
+def test_int8_bucketed_storage(rng):
+    """int8 weight storage (r5): per-angle absmax scales, dequantized in
+    VMEM. The XLA path, the Pallas interpret path, and the to_scipy
+    reconstruction must agree exactly with each other and track the f32
+    matrix within the int8 rounding budget."""
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 32, 12
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op8 = BucketedBandedProjector.from_scipy_fan(
+        A, nx, views, n_groups=8, n_buckets=2, dtype="int8")
+    assert all(st[0].dtype == jnp.int8 and len(st) == 4
+               for st in op8.stacks)
+    x = rng.standard_normal(op8.shape[1]).astype(np.float32)
+    # XLA dequant path vs the dequantized matrix: same numbers
+    M8 = op8.to_scipy()  # dequantized reconstruction
+    got = np.asarray(op8.normal_matvec(jnp.asarray(x)))
+    ref = (M8.T @ (M8 @ x)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # Pallas interpret path: the kernel's selection matmul runs the bf16
+    # path for every non-f32 storage (identical to the bf16 class), so it
+    # tracks the f32-dequant XLA oracle within the bf16 rounding budget
+    kern = _bucketed_ata_interpret(op8, x)
+    rel_k = np.linalg.norm(kern - got) / np.linalg.norm(got)
+    assert rel_k < 5e-3, rel_k
+    # quantization error vs exact matrix stays in the quantized-class
+    # budget (<1% of the result norm)
+    exact = A.T @ (A @ x)
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 1e-2, rel
+    # int8 halves the weight bytes vs bf16
+    op16 = BucketedBandedProjector.from_scipy_fan(
+        A, nx, views, n_groups=8, n_buckets=2, dtype=jnp.bfloat16)
+    w8 = sum(st[0].size * st[0].dtype.itemsize for st in op8.stacks)
+    w16 = sum(st[0].size * st[0].dtype.itemsize for st in op16.stacks)
+    assert w8 * 2 == w16
+
+
+def test_angle_pair_pack_and_kernel(rng):
+    """ap=2 (two angles per Pallas grid step): buckets pad to even angle
+    counts with zero-weight slabs; the pack stays exact and the interpret
+    kernel matches the ap=1 result."""
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 32, 12
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op1 = BucketedBandedProjector.from_scipy_fan(
+        A, nx, views, n_groups=8, n_buckets=2)
+    op2 = BucketedBandedProjector.from_scipy_fan(
+        A, nx, views, n_groups=8, n_buckets=2, ap=2)
+    assert op2.ap == 2
+    assert all(st[0].shape[0] % 2 == 0 for st in op2.stacks)
+    M = op2.to_scipy()
+    assert (M != A.astype(np.float64)).nnz == 0
+    x = rng.standard_normal(op2.shape[1]).astype(np.float32)
+    y = rng.standard_normal(op2.shape[0]).astype(np.float32)
+    # XLA path (CPU): forward/adjoint vs scipy through the padded packs
+    np.testing.assert_allclose(np.asarray(op2.matvec(jnp.asarray(x))),
+                               A @ x, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(op2.rmatvec(jnp.asarray(y))),
+                               A.T @ y, rtol=2e-5, atol=1e-5)
+    # interpret kernel: ap=2 == ap=1
+    np.testing.assert_allclose(_bucketed_ata_interpret(op2, x),
+                               _bucketed_ata_interpret(op1, x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_f32_stack_mode_bitwise(packed, rng, monkeypatch):
+    """The r5 M-stacked split3 selection is bitwise identical to the
+    sequential split3 (same per-row K contraction, same summation order)."""
+    from trips_tpu.sparse.pallas_banded_kernel import (
+        banded_normal_apply_pallas)
+
+    _, _, _, op = packed
+    x = jnp.asarray(rng.standard_normal(op.shape[1]).astype(np.float32))
+    monkeypatch.setenv("TRIPS_TPU_F32_SELECT", "stack")
+    got_stack = np.asarray(banded_normal_apply_pallas(op, x,
+                                                      interpret=True))
+    monkeypatch.setenv("TRIPS_TPU_F32_SELECT", "split3")
+    got_split = np.asarray(banded_normal_apply_pallas(op, x,
+                                                      interpret=True))
+    np.testing.assert_array_equal(got_stack, got_split)

@@ -449,3 +449,65 @@ def test_fused_mmgks_dynamic_banded_operator():
     ref = np.asarray(x_ref)
     assert (np.linalg.norm(np.asarray(x_dev) - ref)
             / np.linalg.norm(ref)) < 1e-4
+
+
+def test_fused_info_adapters_match_plain(rng):
+    """The (x, info) adapters (VERDICT r4 item 9) scan the SAME device
+    bodies: final x and lambda history are identical to the plain fused
+    solvers, and the info dict carries the reference keys
+    (GKS.py:97-105)."""
+    import jax.numpy as jnp
+
+    from trips_tpu.core import DenseOperator
+    from trips_tpu.operators.derivatives import first_derivative_matrix
+    from trips_tpu.solvers.fused import (fused_gks, fused_hybrid_gmres,
+                                         fused_hybrid_lsqr, fused_mmgks)
+    from trips_tpu.solvers.fused_info import (
+        fused_gks_info, fused_hybrid_gmres_info, fused_hybrid_lsqr_info,
+        fused_mmgks_info)
+
+    n = 40
+    Ah = rng.standard_normal((n, n))
+    x_true = np.sin(np.linspace(0, 3, n))
+    b = Ah @ x_true + 0.01 * rng.standard_normal(n)
+    A = DenseOperator(jnp.asarray(Ah))
+    L = DenseOperator(jnp.asarray(
+        first_derivative_matrix(n).toarray()))
+    bj = jnp.asarray(b)
+    xt = jnp.asarray(x_true)
+
+    for plain, wrapped, kw in (
+            (fused_gks, fused_gks_info, dict(n_iter=6)),
+            (fused_mmgks, fused_mmgks_info, dict(n_iter=6)),
+    ):
+        x0, lam0, res0 = plain(A, bj, L, regparam_mode="gcv", **kw)
+        x1, info = wrapped(A, bj, L, regparam_mode="gcv", x_true=xt, **kw)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(info["regParam_history"]),
+                                   np.asarray(lam0), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(info["Residual"]),
+                                   np.asarray(res0), rtol=1e-10)
+        assert info["xHistory"].shape == (kw["n_iter"], n)
+        np.testing.assert_allclose(np.asarray(info["xHistory"][-1]),
+                                   np.asarray(x0), rtol=1e-10, atol=1e-12)
+        assert info["relError"].shape == (kw["n_iter"],)
+        rel_last = float(jnp.linalg.norm(x1 - xt) / jnp.linalg.norm(xt))
+        np.testing.assert_allclose(float(info["relError"][-1]), rel_last,
+                                   rtol=1e-8)
+        assert info["its"] == kw["n_iter"]
+
+    for plain, wrapped in ((fused_hybrid_lsqr, fused_hybrid_lsqr_info),
+                           (fused_hybrid_gmres, fused_hybrid_gmres_info)):
+        x0, lam0 = plain(A, bj, n_iter=8, regparam_mode="gcv")
+        x1, info = wrapped(A, bj, n_iter=8, regparam_mode="gcv", x_true=xt)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(info["regParam_history"]),
+                                   np.asarray(lam0), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(info["xHistory"][-1]),
+                                   np.asarray(x0), rtol=1e-10, atol=1e-12)
+        # projected residual identity: ||A x - b|| == ||B y - bhat||
+        true_res = float(jnp.linalg.norm(A.matvec(x1) - bj))
+        np.testing.assert_allclose(float(info["Residual"][-1]), true_res,
+                                   rtol=1e-6)

@@ -268,6 +268,11 @@ class ShardedBucketedBandedProjector(ShardedBandedProjector):
     @classmethod
     def from_bucketed(cls, op, mesh, axis: str = "angles"):
         """Shard a ``sparse.banded_buckets.BucketedBandedProjector``."""
+        if getattr(op, "ap", 1) != 1 or any(len(st) > 3
+                                            for st in op.stacks):
+            raise ValueError(
+                "sharding supports the f32/bf16 ap=1 bucketed pack; "
+                "build the operator with dtype float/bf16 and ap=1")
         S_dev = mesh.shape[axis]
 
         def sh(a):

@@ -220,3 +220,70 @@ def _joseph_parallel(th, offs, nx, ny):
         np.concatenate(cols_out),
         np.concatenate(vals_out),
     )
+
+
+def analytic_sinogram(ellipses, nx, geometry="fan", angles=None,
+                      views=None, det_count=None, det_width=None,
+                      source_origin=None, origin_det=None, ny=None):
+    """Closed-form sinogram of a sum of constant-density ellipses — an
+    implementation-independent oracle for the discrete projectors
+    (VERDICT r4 item 8: the builders were previously validated only
+    against their own NumPy/C++ twins).
+
+    ``ellipses``: iterable of (rho, a, b, cx, cy, phi_rad) in PIXEL units
+    with the module's image coordinates (origin at the image center,
+    x right / y up). For each ray the integral of the indicator of an
+    ellipse is the chord length: map the ray into the ellipse's unit-disk
+    frame, solve the quadratic |O' + t v'|^2 = 1, and scale the t-interval
+    back by |v|. Rays are constructed with EXACTLY the same geometry
+    parametrization as ``fan_beam_matrix`` / ``parallel_beam_matrix``
+    ('line' model; Tomography.py:49-60 conventions), so a discrete
+    ``A @ x`` with x the pixel-center rasterization must converge to this
+    under grid refinement.
+
+    Returns an (n_angles, p) float64 array.
+    """
+    ny = ny or nx
+    if angles is None:
+        angles = np.linspace(0, np.pi, views, endpoint=False)
+    angles = np.asarray(angles, dtype=float)
+    if geometry == "fan":
+        p = det_count if det_count is not None else int(np.sqrt(2) * nx)
+        so = source_origin if source_origin is not None else 3 * nx
+        od = origin_det if origin_det is not None else nx
+        d = det_width if det_width is not None else (so + od) / so
+    else:
+        p = det_count if det_count is not None else nx
+        d = det_width if det_width is not None else 1.0
+    offs = (np.arange(p) - (p - 1) / 2) * d
+
+    out = np.zeros((len(angles), p))
+    for ai, th in enumerate(angles):
+        if geometry == "fan":
+            S = np.array([so * np.sin(th), -so * np.cos(th)])
+            D0 = np.array([-od * np.sin(th), od * np.cos(th)])
+            u = np.array([np.cos(th), np.sin(th)])
+            O = np.broadcast_to(S, (p, 2))
+            V = D0[None, :] + offs[:, None] * u[None, :] - S[None, :]
+        else:
+            u = np.array([np.cos(th), np.sin(th)])
+            dvec = np.array([np.sin(th), -np.cos(th)])
+            far = 2.0 * (nx + ny)
+            O = -far * dvec[None, :] + offs[:, None] * u[None, :]
+            V = np.broadcast_to(dvec, (p, 2))
+        vnorm = np.linalg.norm(V, axis=1)
+        for rho, a, b, cx, cy, phi in ellipses:
+            c, s = np.cos(phi), np.sin(phi)
+            R = np.array([[c, s], [-s, c]])  # world -> ellipse frame
+            M = np.diag([1.0 / a, 1.0 / b]) @ R
+            Op = (O - np.array([cx, cy])[None, :]) @ M.T
+            Vp = V @ M.T
+            A2 = np.einsum("ij,ij->i", Vp, Vp)
+            B2 = 2.0 * np.einsum("ij,ij->i", Op, Vp)
+            C2 = np.einsum("ij,ij->i", Op, Op) - 1.0
+            disc = B2 * B2 - 4.0 * A2 * C2
+            hit = disc > 0
+            dt = np.zeros(p)
+            dt[hit] = np.sqrt(disc[hit]) / A2[hit]
+            out[ai] += rho * dt * vnorm
+    return out

@@ -446,6 +446,16 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=None,
     or a fixed scalar. Returns (x, lambda_history).
     """
     mode = _resolve_mode(regparam_mode, use_gcv)
+    body, init, start = _hybrid_lsqr_parts(A, b, n_iter, mode, regparam,
+                                           delta, eta, reorth)
+    x, lams, _ = jax.lax.fori_loop(start, n_iter, body, init)
+    return x, lams
+
+
+def _hybrid_lsqr_parts(A, b, n_iter, mode, regparam, delta, eta, reorth):
+    """(body, init_carry, start_iter) of the fused Hybrid LSQR sweep; the
+    carry is (x, lambda_history, projected_residual_history) so the info
+    adapter (``fused_info``) can scan the same body."""
     b = jnp.reshape(b, (-1,))
     m, n = A.shape
     K = n_iter
@@ -462,7 +472,7 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=None,
     col_idx = jnp.arange(K)
 
     def body(ii, carry):
-        x, lams = carry
+        x, lams, resids = carry
         k = ii + 1  # active columns (first solve at ii=1, as the reference)
         col_active = col_idx < k
         row_active = row_idx < k + 1
@@ -487,12 +497,14 @@ def fused_hybrid_lsqr(A, b, n_iter=50, regparam=1.0, use_gcv=None,
                                    col_active)
         x = V @ y
         lams = lams.at[ii].set(lam)
-        return (x, lams)
+        # ||A x - b|| through the projected identity ||B y - bhat||
+        # (exact for an orthonormal computed basis)
+        resids = resids.at[ii].set(jnp.linalg.norm(B @ y - bhat))
+        return (x, lams, resids)
 
-    x0 = jnp.zeros((n,), dtype)
-    lams0 = jnp.zeros((n_iter,), dtype)
-    x, lams = jax.lax.fori_loop(1, n_iter, body, (x0, lams0))
-    return x, lams
+    init = (jnp.zeros((n,), dtype), jnp.zeros((n_iter,), dtype),
+            jnp.zeros((n_iter,), dtype))
+    return body, init, 1
 
 
 @partial(jax.jit, static_argnames=("n_iter", "use_gcv", "reorth",
@@ -507,9 +519,18 @@ def fused_hybrid_gmres(A, b, n_iter=50, regparam=1.0, use_gcv=None,
     Hybrid_GMRES.py:23-87; lam = 0 at the first iteration).
     Returns (x, lambda_history).
     """
+    mode = _resolve_mode(regparam_mode, use_gcv)
+    body, init, start = _hybrid_gmres_parts(A, b, n_iter, mode, regparam,
+                                            delta, eta, reorth)
+    x, lams, _ = jax.lax.fori_loop(start, n_iter, body, init)
+    return x, lams
+
+
+def _hybrid_gmres_parts(A, b, n_iter, mode, regparam, delta, eta, reorth):
+    """(body, init_carry, start_iter) of the fused Hybrid GMRES sweep;
+    carry (x, lambda_history, projected_residual_history)."""
     from ..krylov import arnoldi
 
-    mode = _resolve_mode(regparam_mode, use_gcv)
     b = jnp.reshape(b, (-1,))
     n = A.shape[1]
     K = n_iter
@@ -523,7 +544,7 @@ def fused_hybrid_gmres(A, b, n_iter=50, regparam=1.0, use_gcv=None,
     col_idx = jnp.arange(K)
 
     def body(ii, carry):
-        x, lams = carry
+        x, lams, resids = carry
         k = ii + 1
         col_active = col_idx < k
         row_active = row_idx < k + 1
@@ -552,9 +573,9 @@ def fused_hybrid_gmres(A, b, n_iter=50, regparam=1.0, use_gcv=None,
                                    lam, col_active)
         x = Q[:, :K] @ y
         lams = lams.at[ii].set(lam)
-        return (x, lams)
+        resids = resids.at[ii].set(jnp.linalg.norm(H @ y - bhat))
+        return (x, lams, resids)
 
-    x0 = jnp.zeros((n,), dtype)
-    lams0 = jnp.zeros((n_iter,), dtype)
-    x, lams = jax.lax.fori_loop(0, n_iter, body, (x0, lams0))
-    return x, lams
+    init = (jnp.zeros((n,), dtype), jnp.zeros((n_iter,), dtype),
+            jnp.zeros((n_iter,), dtype))
+    return body, init, 0

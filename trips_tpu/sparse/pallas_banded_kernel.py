@@ -47,13 +47,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _vmem_limit(W, n_groups=32):
+def _vmem_limit(W, n_groups=32, ap=1):
     """Scoped-VMEM request: W slab double-buffered + stage intermediates
     + the shared per-group one-hot list. The compiler default (16 MB)
     rejects the larger packs (g16 bf16 T=26, f32) even though they fit
     physical VMEM; ask for what the kernel actually needs, capped well
     under the hardware budget."""
-    block = int(np.prod(W.shape[1:])) * W.dtype.itemsize
+    block = int(np.prod(W.shape[1:])) * W.dtype.itemsize * ap
     n, p_pad = int(W.shape[2]), int(W.shape[3])
     # E_shared (ATA): n_groups (n, p_pad) bf16 one-hots held across both
     # stages — 26 MB at 640^2/g32 (a small-T bucket's 5*block margin
@@ -65,17 +65,24 @@ def _vmem_limit(W, n_groups=32):
     return int(min(110 * 2**20, 5 * block + e_bytes + 24 * 2**20))
 
 
-def _f32_split3():
-    """f32-exact selection strategy: bf16x3 manual split (default) vs
-    Precision.HIGHEST emulated-f32 matmuls (TRIPS_TPU_F32_SELECT=highest).
+def _f32_mode():
+    """f32-exact selection strategy (TRIPS_TPU_F32_SELECT):
 
-    The selection operand E is 0/1 (exact in bf16), so every product in
-    ``taps @ E`` is just a tap value: splitting the f32 side into three
-    bf16 components (hi + mid + lo captures all 24 mantissa bits) and
-    accumulating the three one-pass matmuls in f32 reproduces the
-    HIGHEST result while issuing half the MXU passes. (Mosaic has no
-    Precision.HIGH lowering, hence the manual split.)"""
-    return os.environ.get("TRIPS_TPU_F32_SELECT", "split3") != "highest"
+    - ``stack`` (default, r5): the three bf16 split components are
+      CONCATENATED along M into ONE selection matmul (3x the M rows at
+      identical total FLOPs) — the three sequential split3 matmuls ran at
+      poor MXU fill (M=T*gsize ~ 120 rows < one M-tile), and r4 showed
+      the f32 path is selection-compute-bound.
+    - ``split3``: three sequential one-pass matmuls (r4 default).
+    - ``highest``: Precision.HIGHEST emulated-f32 matmuls (r3).
+
+    All three are exact to accumulation order: the selection operand E is
+    0/1 (exact in bf16) and hi+mid+lo capture all 24 mantissa bits."""
+    return os.environ.get("TRIPS_TPU_F32_SELECT", "stack")
+
+
+def _f32_split3():
+    return _f32_mode() != "highest"
 
 
 def _sel_dot(Mf, E, dims, f32_exact):
@@ -92,12 +99,18 @@ def _sel_dot(Mf, E, dims, f32_exact):
             Mf, E.astype(jnp.float32), dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-    m1 = Mf.astype(jnp.bfloat16)
-    r = Mf - m1.astype(jnp.float32)
-    m2 = r.astype(jnp.bfloat16)
-    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = _split3(Mf)
+    if _f32_mode() == "stack" and dims in ((((1,), (0,)), ((), ())),
+                                           (((1,), (1,)), ((), ()))):
+        # one M-stacked matmul instead of three M=T*gsize passes (the M
+        # rows triple to fill the MXU; identical FLOPs)
+        M = Mf.shape[0]
+        u = jax.lax.dot_general(jnp.concatenate(parts, axis=0), E,
+                                dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        return u[:M] + u[M:2 * M] + u[2 * M:]
     out = None
-    for mk in (m1, m2, m3):
+    for mk in parts:
         u = jax.lax.dot_general(mk, E, dimension_numbers=dims,
                                 preferred_element_type=jnp.float32)
         out = u if out is None else out + u
@@ -180,12 +193,23 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched,
                  for t in range(T)], axis=0)
 
         if presplit:
-            U = None
-            for part in parts:
+            if _f32_mode() == "stack":
+                # one M-stacked selection matmul for all three split
+                # components (3x M fill, same FLOPs — see _f32_mode)
+                M = T * gsize
                 u = jax.lax.dot_general(
-                    group_taps(part), E, (((1,), (0,)), ((), ())),
+                    jnp.concatenate([group_taps(p) for p in parts],
+                                    axis=0),
+                    E, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                U = u if U is None else U + u
+                U = u[:M] + u[M:2 * M] + u[2 * M:]
+            else:
+                U = None
+                for part in parts:
+                    u = jax.lax.dot_general(
+                        group_taps(part), E, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    U = u if U is None else U + u
         else:
             U = _sel_dot(group_taps(xs), E, (((1,), (0,)), ((), ())),
                          f32_exact)
@@ -195,13 +219,36 @@ def _fwd_stage(xs, w, pm, *, n, n_groups, T, f32_exact, batched,
     return acc[0]
 
 
-def _fwd_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
-                f32_exact, batched=False):
+def _unpack_refs(refs, has_scales):
+    """(W, S, P[, scales], input, output) ref layout shared by the three
+    kernels; ``scales`` present only for int8-stored packs."""
+    if has_scales:
+        w_ref, s_ref, p_ref, sc_ref, in_ref, o_ref = refs
+    else:
+        (w_ref, s_ref, p_ref, in_ref, o_ref), sc_ref = refs, None
+    return w_ref, s_ref, p_ref, sc_ref, in_ref, o_ref
+
+
+def _slab(w_ref, sc_ref, j):
+    """Angle j's weight slab, dequantized in VMEM for int8 storage
+    (elementwise convert+scale — unlike the r4 compact-tap decompression
+    there are no masked selects, so the halved stream is a pure win)."""
+    w = w_ref[j]
+    if sc_ref is not None:
+        return w.astype(jnp.float32) * sc_ref[j, 0, 0]
+    return w
+
+
+def _fwd_kernel(*refs, n, n_groups, T, f32_exact, batched=False, ap=1,
+                has_scales=False):
+    w_ref, s_ref, p_ref, sc_ref, x_ref, o_ref = _unpack_refs(
+        refs, has_scales)
     a = pl.program_id(0)
-    xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
-    o_ref[a, :] = _fwd_stage(xs, w_ref[0], p_ref[0], n=n,
-                             n_groups=n_groups, T=T, f32_exact=f32_exact,
-                             batched=batched)
+    for j in range(ap):
+        xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[j], n, +1)
+        o_ref[a * ap + j, :] = _fwd_stage(
+            xs, _slab(w_ref, sc_ref, j), p_ref[j], n=n,
+            n_groups=n_groups, T=T, f32_exact=f32_exact, batched=batched)
 
 
 def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched,
@@ -248,13 +295,19 @@ def _adj_stage(y, w, pm, *, n, n_groups, T, f32_exact, batched,
     return jnp.concatenate(blocks, axis=0)
 
 
-def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
-                f32_exact, batched=False):
+def _adj_kernel(*refs, n, n_groups, T, f32_exact, batched=False, ap=1,
+                has_scales=False):
+    w_ref, s_ref, p_ref, sc_ref, y_ref, o_ref = _unpack_refs(
+        refs, has_scales)
     a = pl.program_id(0)
-    y = y_ref[a, :].astype(jnp.float32)  # (p_pad,)
-    xs_adj = _adj_stage(y, w_ref[0], p_ref[0], n=n, n_groups=n_groups, T=T,
-                        f32_exact=f32_exact, batched=batched)
-    img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
+    img = None
+    for j in range(ap):
+        y = y_ref[a * ap + j, :].astype(jnp.float32)  # (p_pad,)
+        xs_adj = _adj_stage(y, _slab(w_ref, sc_ref, j), p_ref[j], n=n,
+                            n_groups=n_groups, T=T, f32_exact=f32_exact,
+                            batched=batched)
+        c = _roll_rows(xs_adj, s_ref[j], n, -1).astype(o_ref.dtype)
+        img = c if img is None else img + c
 
     @pl.when(a == 0)
     def _():
@@ -265,81 +318,102 @@ def _adj_kernel(w_ref, s_ref, p_ref, y_ref, o_ref, *, n, n_groups, T,
         o_ref[...] = o_ref[...] + img
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_groups", "interpret", "batched"))
-def _fwd_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
+@functools.partial(
+    jax.jit, static_argnames=("n_groups", "interpret", "batched", "ap"))
+def _fwd_call(X, W, S, Pm, n_groups, interpret=False, batched=False,
+              scales=None, ap=1):
     na, T, n, p_pad = W.shape
+    assert na % ap == 0, (na, ap)
     kern = functools.partial(
         _fwd_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32, batched=batched)
+        f32_exact=W.dtype == jnp.float32, batched=batched, ap=ap,
+        has_scales=scales is not None)
+    specs, args = _specs_args(W, S, Pm, scales, n_groups, ap)
     return pl.pallas_call(
         kern,
-        grid=(na,),
+        grid=(na // ap,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W, n_groups)),
-        in_specs=[
-            pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, p_pad), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # X whole
-        ],
+            vmem_limit_bytes=_vmem_limit(W, n_groups, ap)),
+        in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # X
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # y whole
         out_shape=jax.ShapeDtypeStruct((na, p_pad), jnp.float32),
         interpret=interpret,
-    )(W, S.reshape(na, n, 1), Pm, X)
+    )(*args, X)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_groups", "interpret", "batched"))
-def _adj_call(Y, W, S, Pm, n_groups, interpret=False, batched=False):
+def _specs_args(W, S, Pm, scales, n_groups, ap):
+    """Input BlockSpecs + argument list for the shared (W, S, P[, scales])
+    layout; ``ap`` angles per grid step."""
     na, T, n, p_pad = W.shape
+    specs = [
+        pl.BlockSpec((ap, T, n, p_pad), lambda a: (a, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ap, n, 1), lambda a: (a, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ap, n_groups, p_pad), lambda a: (a, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [W, S.reshape(na, n, 1), Pm]
+    if scales is not None:
+        # Mosaic requires the last two block dims to fill (8, 128) tiles:
+        # broadcast the per-angle scalar to one full f32 tile per angle
+        specs.append(pl.BlockSpec((ap, 8, 128), lambda a: (a, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        args.append(jnp.broadcast_to(
+            scales.reshape(na, 1, 1).astype(jnp.float32), (na, 8, 128)))
+    return specs, args
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_groups", "interpret", "batched", "ap"))
+def _adj_call(Y, W, S, Pm, n_groups, interpret=False, batched=False,
+              scales=None, ap=1):
+    na, T, n, p_pad = W.shape
+    assert na % ap == 0, (na, ap)
     kern = functools.partial(
         _adj_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32, batched=batched)
+        f32_exact=W.dtype == jnp.float32, batched=batched, ap=ap,
+        has_scales=scales is not None)
+    specs, args = _specs_args(W, S, Pm, scales, n_groups, ap)
     return pl.pallas_call(
         kern,
-        grid=(na,),
+        grid=(na // ap,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W, n_groups)),
-        in_specs=[
-            pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, p_pad), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Y whole
-        ],
+            vmem_limit_bytes=_vmem_limit(W, n_groups, ap)),
+        in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # Y
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # image whole
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         interpret=interpret,
-    )(W, S.reshape(na, n, 1), Pm, Y)
+    )(*args, Y)
 
 
-def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
-                f32_exact, batched=False):
+def _ata_kernel(*refs, n, n_groups, T, f32_exact, batched=False, ap=1,
+                has_scales=False):
     """Fused A^T A per angle: forward stages into a register-resident
     sinogram row, immediately back-projected — the weight slab ``W`` is
     streamed from HBM ONCE per normal-equations apply instead of once for
     the forward and once for the adjoint. CGLS on the normal equations
     (``krylov.cgls_normal``) halves the dominant HBM stream per iteration.
     """
+    w_ref, s_ref, p_ref, sc_ref, x_ref, o_ref = _unpack_refs(
+        refs, has_scales)
     a = pl.program_id(0)
-    xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[0], n, +1)
     p_pad = w_ref.shape[3]
-    E_shared = (None if batched else
-                [_build_E(p_ref[0], g, n, p_pad)
-                 for g in range(n_groups)])
-    y = _fwd_stage(xs, w_ref[0], p_ref[0], n=n, n_groups=n_groups, T=T,
-                   f32_exact=f32_exact, batched=batched,
-                   E_shared=E_shared)
-    xs_adj = _adj_stage(y, w_ref[0], p_ref[0], n=n, n_groups=n_groups,
-                        T=T, f32_exact=f32_exact, batched=batched,
-                        E_shared=E_shared)
-    img = _roll_rows(xs_adj, s_ref[0], n, -1).astype(o_ref.dtype)
+    img = None
+    for j in range(ap):
+        xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[j], n, +1)
+        E_shared = (None if batched else
+                    [_build_E(p_ref[j], g, n, p_pad)
+                     for g in range(n_groups)])
+        w = _slab(w_ref, sc_ref, j)
+        y = _fwd_stage(xs, w, p_ref[j], n=n, n_groups=n_groups, T=T,
+                       f32_exact=f32_exact, batched=batched,
+                       E_shared=E_shared)
+        xs_adj = _adj_stage(y, w, p_ref[j], n=n, n_groups=n_groups,
+                            T=T, f32_exact=f32_exact, batched=batched,
+                            E_shared=E_shared)
+        c = _roll_rows(xs_adj, s_ref[j], n, -1).astype(o_ref.dtype)
+        img = c if img is None else img + c
 
     @pl.when(a == 0)
     def _():
@@ -350,31 +424,27 @@ def _ata_kernel(w_ref, s_ref, p_ref, x_ref, o_ref, *, n, n_groups, T,
         o_ref[...] = o_ref[...] + img
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_groups", "interpret", "batched"))
-def _ata_call(X, W, S, Pm, n_groups, interpret=False, batched=False):
+@functools.partial(
+    jax.jit, static_argnames=("n_groups", "interpret", "batched", "ap"))
+def _ata_call(X, W, S, Pm, n_groups, interpret=False, batched=False,
+              scales=None, ap=1):
     na, T, n, p_pad = W.shape
+    assert na % ap == 0, (na, ap)
     kern = functools.partial(
         _ata_kernel, n=n, n_groups=n_groups, T=T,
-        f32_exact=W.dtype == jnp.float32, batched=batched)
+        f32_exact=W.dtype == jnp.float32, batched=batched, ap=ap,
+        has_scales=scales is not None)
+    specs, args = _specs_args(W, S, Pm, scales, n_groups, ap)
     return pl.pallas_call(
         kern,
-        grid=(na,),
+        grid=(na // ap,),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(W, n_groups)),
-        in_specs=[
-            pl.BlockSpec((1, T, n, p_pad), lambda a: (a, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_groups, p_pad), lambda a: (a, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # X whole
-        ],
+            vmem_limit_bytes=_vmem_limit(W, n_groups, ap)),
+        in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # X
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # image whole
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         interpret=interpret,
-    )(W, S.reshape(na, n, 1), Pm, X)
+    )(*args, X)
 
 
 def _batched_default():
