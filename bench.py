@@ -258,6 +258,7 @@ CLASSES = {
     "shear_fan": "surrogate",
     "banded_bf16_g32": "quantized",
     "banded_bf16_buck": "quantized",
+    "banded_int8_buck": "quantized",
     "banded_bf16_g16": "quantized",
     "bsr_bf16_while": "quantized",
     "bsr_bf16_scan": "quantized",
@@ -465,6 +466,16 @@ def main():
                         A, nx, views, n_groups=32, n_buckets=4,
                         dtype=jnp.bfloat16)
             run_path("banded_bf16_buck_ata", buck16, 150,
+                     solver=cgls_normal, stream_factor=1)
+            # int8-stored bucketed pack (r5): per-angle absmax scales
+            # dequantized in VMEM — half the bf16 stream; measured
+            # 10.76-10.79 Gnnz/s vs 10.28 same-session bf16
+            with phase("banded_int8_buck_build", 60, report) as ok:
+                if ok:
+                    buck8 = BucketedBandedProjector.from_scipy_fan(
+                        A, nx, views, n_groups=32, n_buckets=4,
+                        dtype="int8")
+            run_path("banded_int8_buck_ata", buck8, 150,
                      solver=cgls_normal, stream_factor=1)
 
             # ---- path 3: banded bf16 n_groups=16 — measured champion

@@ -504,3 +504,51 @@ def test_hlo_collective_audit(rng, mesh8):
     # not weight-sized)
     fwd_bytes = audit["matvec"]["total_bytes"]
     assert fwd_bytes <= 4 * sop.shape[0] * 8, audit["matvec"]
+
+
+def test_streamed_dynamic_matches_resident(rng):
+    """Out-of-core streamed dynamic operator (VERDICT r4 item 6): the
+    two-slot host->device pipeline reproduces the resident block-diag
+    system exactly, and streamed CGLS matches the fused resident solve."""
+    from trips_tpu.krylov import cgls_normal
+    from trips_tpu.parallel import (StreamedDynamicBandedOperator,
+                                    cgls_normal_streamed)
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse import BandedProjector
+    from trips_tpu.sparse.dynamic_banded import DynamicBandedOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, angles_list = \
+        generate_synthetic_dynamic(nx=16, nt=3, views=8, noise_level=0.0,
+                                   return_angles=True)
+    frame_ops = [
+        BandedProjector.from_scipy_fan(AA[t], nx, len(angles_list[t]),
+                                       angles=angles_list[t], n_groups=8)
+        for t in range(nt)]
+    sop = StreamedDynamicBandedOperator(frame_ops)
+    Afull = sp.block_diag(AA, format="csr")
+    assert sop.shape == Afull.shape
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               Afull @ x, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               Afull.T @ y, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sop.normal_matvec(jnp.asarray(x))),
+        Afull.T @ (Afull @ x), rtol=2e-4, atol=2e-4)
+    # streamed CGLS vs the fused resident solve on the same system
+    dop = DynamicBandedOperator.from_frames(AA, nx, angles_list,
+                                            n_groups=8)
+    bj = jnp.asarray(b, jnp.float32)
+    # pre-convergence the trajectories track to f32 roundoff (the streamed
+    # normal apply is bitwise-equal to the resident one; only XLA fusion
+    # boundaries differ). At the convergence floor of this tiny noise-free
+    # system the drift is chaotic-amplified — bound it loosely there.
+    for iters, tol in ((8, 1e-4), (15, 5e-3)):
+        xs, _ = cgls_normal_streamed(
+            sop, bj, jnp.zeros(sop.shape[1], jnp.float32), iters)
+        xr, _ = cgls_normal(dop, bj, jnp.zeros(dop.shape[1], jnp.float32),
+                            iters, 0.0)
+        rel = (np.linalg.norm(np.asarray(xs) - np.asarray(xr))
+               / np.linalg.norm(np.asarray(xr)))
+        assert rel < tol, (iters, rel)

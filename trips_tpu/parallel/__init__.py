@@ -35,3 +35,10 @@ __all__ += [
     "ShardedBucketedDynamicBandedOperator",
     "ShardedDynamicBandedOperator",
 ]
+
+from .streamed import (  # noqa: E402
+    StreamedDynamicBandedOperator,
+    cgls_normal_streamed,
+)
+
+__all__ += ["StreamedDynamicBandedOperator", "cgls_normal_streamed"]
