@@ -77,10 +77,19 @@ if os.environ.get("BENCH_PLATFORM"):
 T_START = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "820"))
 ITERS = int(os.environ.get("BENCH_ITERS", "100"))
+# Device paths run more iterations per dispatch: the axon tunnel adds a
+# measured ~26-30 ms round trip per call (r5: a trivial 800-iteration
+# device loop times the same as a 50-iteration one), which at 100
+# iterations inflated champion wall time ~30%. 400 iterations amortize it
+# to <3% while the metric definition (iters * 2 * nnz / wall, one
+# dispatch included) is unchanged. The scipy host baseline keeps ITERS
+# (no tunnel; 400 iters would cost 8+ s per run).
+DEV_ITERS = int(os.environ.get("BENCH_DEV_ITERS", "400"))
 FAST = os.environ.get("BENCH_FAST", "") == "1"
 if FAST:
     BUDGET_S = min(BUDGET_S, 300.0)
     ITERS = 20
+    DEV_ITERS = 20
 EMIT_RESERVE_S = 15.0  # time kept back for the final emit
 PEAK_HBM_GBPS = 819.0  # TPU v5e HBM peak
 
@@ -278,7 +287,8 @@ def classify(name):
 
 
 def main():
-    report = {"paths": {}, "iters": ITERS, "peak_hbm_gbps": PEAK_HBM_GBPS}
+    report = {"paths": {}, "iters": ITERS, "device_iters": DEV_ITERS,
+              "peak_hbm_gbps": PEAK_HBM_GBPS}
     best = {"name": None, "rate": 0.0}
     best_exact = {"name": None, "rate": 0.0}
     emitted = False
@@ -401,7 +411,7 @@ def main():
                 if ok:
                     consider(name, measure_device(
                         solver or cgls_while, op, b, nnz_eff or A.nnz,
-                        ITERS, info, stream_factor=stream_factor))
+                        DEV_ITERS, info, stream_factor=stream_factor))
 
         if platform != "tpu":
             op = None
@@ -415,7 +425,7 @@ def main():
             run_tpu_paths = True
 
         otf = bop32 = bopf32 = bop16 = sf = op16 = op8 = None
-        buckf32 = buck16 = None
+        buckf32 = buck16 = buck8 = None
 
         # ---- path 0: on-the-fly fan projector — cheapest compile (~6 s),
         # exact-matrix class, zero transfer. Runs FIRST so both headline
