@@ -177,3 +177,45 @@ def test_int8_todense_not_zero(rng):
 # einsum + segment-sum apply is the BSR path (driver-recorded 2.15-2.35
 # Gnnz/s vs the kernel's 0.10 on tomo256x60); the banded Pallas kernel
 # owns the stored-matrix fast path.
+
+
+def test_dynamic_bucketed_int8(rng):
+    """int8-stored dynamic bucketed operator (r5): per-(frame, angle)
+    scales; XLA path matches the dequantized matrices; class budget <1%
+    vs exact."""
+    import jax.numpy as jnp
+    from scipy import sparse as sp
+
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse.dynamic_banded import BucketedDynamicBandedOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, al = \
+        generate_synthetic_dynamic(nx=16, nt=3, views=8, noise_level=0.0,
+                                   return_angles=True)
+    dop8 = BucketedDynamicBandedOperator.from_frames(
+        AA, nx, al, n_groups=8, n_buckets=2, dtype="int8")
+    assert any(len(st) > 4 for st in dop8.stacks)
+    assert all(st[0].dtype == jnp.int8 for st in dop8.stacks)
+    Afull = sp.block_diag(AA, format="csr")
+    x = rng.standard_normal(dop8.shape[1]).astype(np.float32)
+    y = rng.standard_normal(dop8.shape[0]).astype(np.float32)
+    exact = Afull.T @ (Afull @ x)
+    got = np.asarray(dop8.normal_matvec(jnp.asarray(x)))
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 1e-2, rel
+    relf = (np.linalg.norm(np.asarray(dop8.matvec(jnp.asarray(x)))
+                           - Afull @ x) / np.linalg.norm(Afull @ x))
+    assert relf < 1e-2, relf
+    rela = (np.linalg.norm(np.asarray(dop8.rmatvec(jnp.asarray(y)))
+                           - Afull.T @ y) / np.linalg.norm(Afull.T @ y))
+    assert rela < 1e-2, rela
+    # adjointness holds exactly for the quantized matrix
+    lhs = float(np.asarray(dop8.matvec(jnp.asarray(x))) @ y)
+    rhs = float(x @ np.asarray(dop8.rmatvec(jnp.asarray(y))))
+    assert abs(lhs - rhs) < 1e-3 * abs(lhs)
+    # int8 storage halves weight bytes vs bf16
+    dop16 = BucketedDynamicBandedOperator.from_frames(
+        AA, nx, al, n_groups=8, n_buckets=2, dtype=jnp.bfloat16)
+    w8 = sum(st[0].size * st[0].dtype.itemsize for st in dop8.stacks)
+    w16 = sum(st[0].size * st[0].dtype.itemsize for st in dop16.stacks)
+    assert w8 * 2 == w16

@@ -294,6 +294,11 @@ class ShardedBucketedDynamicBandedOperator(ShardedDynamicBandedOperator):
             raise ValueError(
                 f"nt={op.nt} must be a multiple of the '{t_axis}' mesh "
                 f"axis ({T_dev}); pad the frame list.")
+        if any(len(st) > 4 for st in op.stacks):
+            raise ValueError(
+                "sharding supports the f32/bf16 bucketed dynamic pack; "
+                "build the operator with dtype float/bf16 (int8 scale "
+                "plumbing is single-chip only)")
 
         def sh(a, spec):
             return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))

@@ -142,36 +142,53 @@ class DynamicBandedOperator(LinearOperator):
         return tot
 
     def _groups(self):
+        # (W, S, Pm, aidx, is_cols, scales-or-None); scales only for the
+        # int8-stored bucketed subclass
         return ((self.W_rows, self.shift_rows, self.P_rows,
-                 self.aidx_rows, False),
+                 self.aidx_rows, False, None),
                 (self.W_cols, self.shift_cols, self.P_cols,
-                 self.aidx_cols, True))
+                 self.aidx_cols, True, None))
 
-    def _fwd_frame(self, W, S, Pm, X):
+    def _deq(self, W, sc):
+        if sc is None:
+            return W
+        return W.astype(jnp.float32) * sc[:, None, None, None]
+
+    def _fwd_frame(self, W, S, Pm, X, sc=None):
         if _use_pallas():
             from .pallas_banded_kernel import _fwd_call
 
-            return _fwd_call(X, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
-                               False, wrap=True)
+            return _fwd_call(X, W, S, Pm, self.n_groups, scales=sc)
+        return apply_group_xla(self.n_pad, self.n_groups, X,
+                               self._deq(W, sc), S, Pm, False, wrap=True)
 
-    def _adj_frame(self, W, S, Pm, Yg):
+    def _adj_frame(self, W, S, Pm, Yg, sc=None):
         if _use_pallas():
             from .pallas_banded_kernel import _adj_call
 
-            return _adj_call(Yg, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
-                               True, y_rows=Yg, wrap=True)
+            return _adj_call(Yg, W, S, Pm, self.n_groups, scales=sc)
+        return apply_group_xla(self.n_pad, self.n_groups, None,
+                               self._deq(W, sc), S, Pm, True, y_rows=Yg,
+                               wrap=True)
 
-    def _ata_frame(self, W, S, Pm, X):
+    def _ata_frame(self, W, S, Pm, X, sc=None):
         if _use_pallas():
             from .pallas_banded_kernel import _ata_call
 
-            return _ata_call(X, W, S, Pm, self.n_groups)
-        y = apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm, False,
-                            wrap=True)
-        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
+            return _ata_call(X, W, S, Pm, self.n_groups, scales=sc)
+        Wf = self._deq(W, sc)
+        y = apply_group_xla(self.n_pad, self.n_groups, X, Wf, S, Pm,
+                            False, wrap=True)
+        return apply_group_xla(self.n_pad, self.n_groups, None, Wf, S, Pm,
                                True, y_rows=y, wrap=True)
+
+    @staticmethod
+    def _vmap_frames(fn, W, S, Pm, arg, sc):
+        if sc is None:
+            return jax.vmap(lambda w, s, p, a: fn(w, s, p, a))(
+                W, S, Pm, arg)
+        return jax.vmap(lambda w, s, p, a, c: fn(w, s, p, a, c))(
+            W, S, Pm, arg, sc)
 
     def _embed_frames(self, X):
         n, npd = self.nx, self.n_pad
@@ -185,11 +202,11 @@ class DynamicBandedOperator(LinearOperator):
         X = self._embed_frames(
             x.reshape(self.nt, n, n).astype(jnp.float32))
         y = jnp.zeros((self.nt, v, p), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
+        for W, S, Pm, aidx, is_cols, sc in self._groups():
             if not W.size:
                 continue
             Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-            yg = jax.vmap(self._fwd_frame)(W, S, Pm, Xg)  # (nt, na, p_pad)
+            yg = self._vmap_frames(self._fwd_frame, W, S, Pm, Xg, sc)
             y = jax.vmap(
                 lambda yy, gg, ai: yy.at[ai].set(gg[:, :p], mode="drop")
             )(y, yg, aidx)
@@ -199,14 +216,14 @@ class DynamicBandedOperator(LinearOperator):
         n, p, v = self.nx, self.det_count, self.views
         Y = yv.reshape(self.nt, v, p).astype(jnp.float32)
         img = jnp.zeros((self.nt, n, n), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
+        for W, S, Pm, aidx, is_cols, sc in self._groups():
             if not W.size:
                 continue
             p_pad = W.shape[4]
             Yg = jax.vmap(lambda yy, ai: jnp.take(
                 yy, ai, axis=0, mode="fill", fill_value=0.0))(Y, aidx)
             Yg = jnp.pad(Yg, ((0, 0), (0, 0), (0, p_pad - p)))
-            c = jax.vmap(self._adj_frame)(W, S, Pm, Yg)  # (nt, npd, npd)
+            c = self._vmap_frames(self._adj_frame, W, S, Pm, Yg, sc)
             img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
                 :, :n, :n]
         return img.reshape(-1).astype(yv.dtype)
@@ -218,11 +235,11 @@ class DynamicBandedOperator(LinearOperator):
         X = self._embed_frames(
             x.reshape(self.nt, n, n).astype(jnp.float32))
         img = jnp.zeros((self.nt, n, n), jnp.float32)
-        for W, S, Pm, aidx, is_cols in self._groups():
+        for W, S, Pm, aidx, is_cols, sc in self._groups():
             if not W.size:
                 continue
             Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-            c = jax.vmap(self._ata_frame)(W, S, Pm, Xg)
+            c = self._vmap_frames(self._ata_frame, W, S, Pm, Xg, sc)
             img = img + (jnp.swapaxes(c, 1, 2) if is_cols else c)[
                 :, :n, :n]
         return img.reshape(-1).astype(x.dtype)
@@ -261,24 +278,32 @@ class BucketedDynamicBandedOperator(DynamicBandedOperator):
         self.nt = nt
 
     def _groups(self):
-        return tuple((W, S, Pm, Ai, isc)
-                     for (W, S, Pm, Ai), isc in zip(self.stacks,
-                                                    self.is_cols))
+        return tuple(
+            (st[0], st[1], st[2], st[3], isc,
+             st[4] if len(st) > 4 else None)
+            for st, isc in zip(self.stacks, self.is_cols))
 
     @property
     def stored_bytes(self):
-        return sum(W.size * W.dtype.itemsize
-                   + (S.size + Pm.size + Ai.size) * 4
-                   for W, S, Pm, Ai in self.stacks)
+        return sum(st[0].size * st[0].dtype.itemsize
+                   + (st[1].size + st[2].size + st[3].size) * 4
+                   + (st[4].size * 4 if len(st) > 4 else 0)
+                   for st in self.stacks)
 
     @classmethod
     def from_frames(cls, AA, nx, angles_list, n_groups=32, dtype=None,
                     lane_pad=128, n_buckets=3):
         # n_buckets=3 is the measured optimum at STEMPO-scale frames
-        # (r4: plain 3.48 -> nb2 4.50 -> nb3 5.05 Gnnz/s)
+        # (r4: plain 3.48 -> nb2 4.50 -> nb3 5.05 Gnnz/s).
+        # dtype "int8": per-(frame, angle) absmax/127 scales, dequantized
+        # in VMEM by the kernel (r5; static counterpart measured +31%
+        # over the r4 champion)
         from .banded import _pack_groups
         from ..native import scatter_fill
 
+        int8 = dtype in ("int8", jnp.int8, np.int8)
+        if int8:
+            dtype = None  # pack in f32, quantize per bucket below
         nt = len(AA)
         assert len(angles_list) == nt
         views = len(angles_list[0])
@@ -339,8 +364,17 @@ class BucketedDynamicBandedOperator(DynamicBandedOperator):
                         P[t, j, :, p:] = Pk[:, -1:]
                         Ai[t, j] = aid
                 np.mod(P, n_pad, out=P)
-                stacks.append((jnp.asarray(W), jnp.asarray(S),
-                               jnp.asarray(P), jnp.asarray(Ai)))
+                if int8:
+                    sc = np.maximum(
+                        np.abs(W).max(axis=(2, 3, 4)), 1e-30) / 127.0
+                    Wq = np.rint(
+                        W / sc[:, :, None, None, None]).astype(np.int8)
+                    stacks.append((jnp.asarray(Wq), jnp.asarray(S),
+                                   jnp.asarray(P), jnp.asarray(Ai),
+                                   jnp.asarray(sc.astype(np.float32))))
+                else:
+                    stacks.append((jnp.asarray(W), jnp.asarray(S),
+                                   jnp.asarray(P), jnp.asarray(Ai)))
                 flags.append(not dr)
         m = sum(At.shape[0] for At in AA)
         nnz = sum(At.nnz for At in AA)
