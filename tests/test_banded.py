@@ -5,6 +5,7 @@ value and position (``to_scipy`` reconstructs the matrix bit-for-bit) — and
 the Pallas kernel (run here with ``interpret=True``; VERDICT r1 item 4)
 must match the XLA gather apply, which itself must match scipy.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -12,6 +13,17 @@ import pytest
 from trips_tpu.problems.projector import fan_beam_matrix
 from trips_tpu.sparse.banded import BandedProjector
 from trips_tpu.sparse.pallas_banded_kernel import banded_apply_pallas
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """XLA CPU segfaults inside backend_compile_and_load once too many
+    compiled executables accumulate in one process (CLAUDE.md; the
+    per-module clear in conftest stopped sufficing when this module's
+    interpret-mode tests grew in r5 — reproduced mid-module). This module
+    is the heaviest compile user: clear per test."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="module")

@@ -239,13 +239,25 @@ def _slab(w_ref, sc_ref, j):
     return w
 
 
+def _fwd_dtype(f32_exact):
+    """Forward shear/taps element type. For quantized storage (bf16/int8)
+    the selection matmul rounds the image to bf16 anyway, so the forward
+    shear rolls + taps run in bf16 directly: half the VPU roll bytes and
+    no per-group f32->bf16 cast (r5; shear measured ~25% of bf16 device
+    time). The f32-exact path keeps f32 (the split3 decomposition needs
+    the full mantissa). The adjoint side stays f32 everywhere: its
+    per-angle image contributions accumulate over all angles."""
+    return jnp.float32 if f32_exact else jnp.bfloat16
+
+
 def _fwd_kernel(*refs, n, n_groups, T, f32_exact, batched=False, ap=1,
                 has_scales=False):
     w_ref, s_ref, p_ref, sc_ref, x_ref, o_ref = _unpack_refs(
         refs, has_scales)
     a = pl.program_id(0)
     for j in range(ap):
-        xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[j], n, +1)
+        xs = _roll_rows(x_ref[...].astype(_fwd_dtype(f32_exact)),
+                        s_ref[j], n, +1)
         o_ref[a * ap + j, :] = _fwd_stage(
             xs, _slab(w_ref, sc_ref, j), p_ref[j], n=n,
             n_groups=n_groups, T=T, f32_exact=f32_exact, batched=batched)
@@ -401,7 +413,8 @@ def _ata_kernel(*refs, n, n_groups, T, f32_exact, batched=False, ap=1,
     p_pad = w_ref.shape[3]
     img = None
     for j in range(ap):
-        xs = _roll_rows(x_ref[...].astype(jnp.float32), s_ref[j], n, +1)
+        xs = _roll_rows(x_ref[...].astype(_fwd_dtype(f32_exact)),
+                        s_ref[j], n, +1)
         E_shared = (None if batched else
                     [_build_E(p_ref[j], g, n, p_pad)
                      for g in range(n_groups)])
