@@ -42,6 +42,9 @@ class StreamedDynamicBandedOperator(LinearOperator):
 
     def __init__(self, frame_ops, device=None):
         self.frame_ops = list(frame_ops)
+        if not self.frame_ops:
+            raise ValueError("frame_ops must contain at least one frame "
+                             "operator")
         self.nt = len(self.frame_ops)
         m = sum(op.shape[0] for op in self.frame_ops)
         n = sum(op.shape[1] for op in self.frame_ops)
