@@ -552,3 +552,69 @@ def test_streamed_dynamic_matches_resident(rng):
         rel = (np.linalg.norm(np.asarray(xs) - np.asarray(xr))
                / np.linalg.norm(np.asarray(xr)))
         assert rel < tol, (iters, rel)
+
+
+def test_sharded_int8_bucketed_static(rng, mesh8):
+    """int8 bucketed pack sharded over the mesh (r5: the champion format's
+    multi-chip path carries the scales): parity vs the dequantized matrix
+    and the single-psum jaxpr pin."""
+    from trips_tpu.parallel import ShardedBucketedBandedProjector
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 32, 12
+    A = fan_beam_matrix(nx, views=views).astype(np.float32)
+    op8 = BucketedBandedProjector.from_scipy_fan(
+        A, nx, views, n_groups=8, n_buckets=2, dtype="int8")
+    M8 = op8.to_scipy()
+    sop = ShardedBucketedBandedProjector.from_bucketed(op8, mesh8,
+                                                       axis="rows")
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               M8 @ x, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               M8.T @ y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(sop.normal_matvec(jnp.asarray(x))),
+        M8.T @ (M8 @ x), rtol=5e-4, atol=5e-4)
+
+    def count_psums(fn, arg):
+        return str(jax.make_jaxpr(fn)(arg)).count("psum")
+
+    assert count_psums(sop.normal_matvec, jnp.asarray(x)) == 1
+    assert count_psums(sop.rmatvec, jnp.asarray(y)) == 1
+
+
+def test_sharded_int8_bucketed_dynamic(rng):
+    """(time x angles)-sharded int8 dynamic pack: parity vs the
+    dequantized block-diag system; single psum per normal apply."""
+    from trips_tpu.parallel import ShardedBucketedDynamicBandedOperator
+    from trips_tpu.problems import generate_synthetic_dynamic
+    from trips_tpu.sparse.dynamic_banded import BucketedDynamicBandedOperator
+
+    A, b, AA, B, nx, ny, nt, delta, x_true, al = \
+        generate_synthetic_dynamic(nx=16, nt=4, views=8, noise_level=0.0,
+                                   return_angles=True)
+    dop8 = BucketedDynamicBandedOperator.from_frames(
+        AA, nx, al, n_groups=8, n_buckets=2, dtype="int8")
+    mesh = make_mesh({"time": 2, "angles": 4})
+    sop = ShardedBucketedDynamicBandedOperator.from_dynamic(dop8, mesh)
+    x = rng.standard_normal(sop.shape[1]).astype(np.float32)
+    y = rng.standard_normal(sop.shape[0]).astype(np.float32)
+    # oracle: the single-chip int8 operator (same quantized matrix)
+    np.testing.assert_allclose(np.asarray(sop.matvec(jnp.asarray(x))),
+                               np.asarray(dop8.matvec(jnp.asarray(x))),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sop.rmatvec(jnp.asarray(y))),
+                               np.asarray(dop8.rmatvec(jnp.asarray(y))),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(sop.normal_matvec(jnp.asarray(x))),
+        np.asarray(dop8.normal_matvec(jnp.asarray(x))),
+        rtol=5e-4, atol=5e-4)
+
+    def count_psums(fn, arg):
+        return str(jax.make_jaxpr(fn)(arg)).count("psum")
+
+    assert count_psums(sop.normal_matvec, jnp.asarray(x)) == 1

@@ -95,12 +95,20 @@ class ShardedBandedProjector(LinearOperator):
                 + self.W_cols.size * self.W_cols.dtype.itemsize)
 
     def _groups(self):
+        # (W, S, Pm, angle_ids, na_real, is_cols, scales-or-None);
+        # scales only for int8-stored bucketed packs
         return (
             (self.W_rows, self.shift_rows, self.P_rows,
-             self._angles_rows, self._na_rows, False),
+             self._angles_rows, self._na_rows, False, None),
             (self.W_cols, self.shift_cols, self.P_cols,
-             self._angles_cols, self._na_cols, True),
+             self._angles_cols, self._na_cols, True, None),
         )
+
+    @staticmethod
+    def _deq(W, sc):
+        if sc is None:
+            return W
+        return W.astype(jnp.float32) * sc[:, None, None, None]
 
     # -- single-program merged applies (VERDICT r3 item 3) ----------------
     #
@@ -114,7 +122,13 @@ class ShardedBandedProjector(LinearOperator):
         return [g for g in self._groups() if g[4] > 0]
 
     def _flat_args(self, groups):
-        return [a for (W, Sf, Pm, _, _, _) in groups for a in (W, Sf, Pm)]
+        return [a for g in groups
+                for a in ((g[0], g[1], g[2])
+                          + ((g[6],) if g[6] is not None else ()))]
+
+    def _flat_specs(self, groups, ax):
+        return sum((((PartitionSpec(ax),) * (4 if g[6] is not None else 3))
+                    for g in groups), ())
 
     def _embed(self, x):
         n, npd = self.nx, self.n_pad
@@ -135,26 +149,31 @@ class ShardedBandedProjector(LinearOperator):
 
         def local_fwd(X, *flat):
             outs = []
-            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
-                W, Sf, Pm = flat[3 * i:3 * i + 3]
+            k = 0
+            for g in groups:
+                is_cols, has_sc = g[5], g[6] is not None
+                W, Sf, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
                 Xg = X.T if is_cols else X
                 if _use_pallas():
                     from ..sparse.pallas_banded_kernel import _fwd_call
 
-                    outs.append(_fwd_call(Xg, W, Sf, Pm, ng))
+                    outs.append(_fwd_call(Xg, W, Sf, Pm, ng, scales=sc))
                 else:
-                    outs.append(apply_group_xla(npd, ng, Xg, W, Sf, Pm,
+                    outs.append(apply_group_xla(npd, ng, Xg,
+                                                self._deq(W, sc), Sf, Pm,
                                                 False, wrap=True))
             return tuple(outs)
 
         f = jax.shard_map(
             local_fwd, mesh=self.mesh,
-            in_specs=(PartitionSpec(),)
-            + (PartitionSpec(ax),) * (3 * len(groups)),
+            in_specs=(PartitionSpec(),) + self._flat_specs(groups, ax),
             out_specs=tuple(PartitionSpec(ax) for _ in groups))
         outs = f(X0, *self._flat_args(groups))
-        for yg, (_, _, _, aidx, na_real, _) in zip(outs, groups):
-            y = y.at[jnp.asarray(aidx)].set(yg[:na_real, :p])
+        for yg, g in zip(outs, groups):
+            aidx, na_real = g[3], g[4]
+            y = y.at[jnp.asarray(aidx)].set(yg[:na_real, :p], mode="drop")
         return y.reshape(-1).astype(x.dtype)
 
     def normal_matvec(self, x):
@@ -171,25 +190,29 @@ class ShardedBandedProjector(LinearOperator):
 
         def local_ata(X, *flat):
             acc = jnp.zeros((npd, npd), jnp.float32)
-            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
-                W, Sf, Pm = flat[3 * i:3 * i + 3]
+            k = 0
+            for g in groups:
+                is_cols, has_sc = g[5], g[6] is not None
+                W, Sf, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
                 Xg = X.T if is_cols else X
                 if _use_pallas():
                     from ..sparse.pallas_banded_kernel import _ata_call
 
-                    c = _ata_call(Xg, W, Sf, Pm, ng)
+                    c = _ata_call(Xg, W, Sf, Pm, ng, scales=sc)
                 else:
-                    yg = apply_group_xla(npd, ng, Xg, W, Sf, Pm, False,
+                    Wf = self._deq(W, sc)
+                    yg = apply_group_xla(npd, ng, Xg, Wf, Sf, Pm, False,
                                          wrap=True)
-                    c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
+                    c = apply_group_xla(npd, ng, None, Wf, Sf, Pm, True,
                                         y_rows=yg, wrap=True)
                 acc = acc + (c.T if is_cols else c)
             return jax.lax.psum(acc, ax)
 
         f = jax.shard_map(
             local_ata, mesh=self.mesh,
-            in_specs=(PartitionSpec(),)
-            + (PartitionSpec(ax),) * (3 * len(groups)),
+            in_specs=(PartitionSpec(),) + self._flat_specs(groups, ax),
             out_specs=PartitionSpec())
         img = f(X0, *self._flat_args(groups))
         return img[:n, :n].reshape(-1).astype(x.dtype)
@@ -205,28 +228,35 @@ class ShardedBandedProjector(LinearOperator):
         def local_adj(*args):
             ys, flat = args[:len(groups)], args[len(groups):]
             acc = jnp.zeros((npd, npd), jnp.float32)
-            for i, (_, _, _, _, _, is_cols) in enumerate(groups):
-                W, Sf, Pm = flat[3 * i:3 * i + 3]
+            k = 0
+            for i, g in enumerate(groups):
+                is_cols, has_sc = g[5], g[6] is not None
+                W, Sf, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
                 if _use_pallas():
                     from ..sparse.pallas_banded_kernel import _adj_call
 
-                    c = _adj_call(ys[i], W, Sf, Pm, ng)
+                    c = _adj_call(ys[i], W, Sf, Pm, ng, scales=sc)
                 else:
-                    c = apply_group_xla(npd, ng, None, W, Sf, Pm, True,
-                                        y_rows=ys[i], wrap=True)
+                    c = apply_group_xla(npd, ng, None, self._deq(W, sc),
+                                        Sf, Pm, True, y_rows=ys[i],
+                                        wrap=True)
                 acc = acc + (c.T if is_cols else c)
             return jax.lax.psum(acc, ax)
 
         f = jax.shard_map(
             local_adj, mesh=self.mesh,
             in_specs=(PartitionSpec(ax),) * len(groups)
-            + (PartitionSpec(ax),) * (3 * len(groups)),
+            + self._flat_specs(groups, ax),
             out_specs=PartitionSpec())
         ys = []
-        for W, Sf, Pm, aidx, na_real, _ in groups:
+        for g in groups:
+            W, aidx, na_real = g[0], g[3], g[4]
             na_pad, p_pad = W.shape[0], W.shape[3]
-            ys.append(jnp.pad(Y[jnp.asarray(aidx)],
-                              ((0, na_pad - na_real), (0, p_pad - p))))
+            Yg = jnp.take(Y, jnp.asarray(aidx), axis=0, mode="fill",
+                          fill_value=0.0)
+            ys.append(jnp.pad(Yg, ((0, na_pad - na_real), (0, p_pad - p))))
         img = f(*ys, *self._flat_args(groups))
         return img[:n, :n].reshape(-1).astype(yv.dtype)
 
@@ -267,12 +297,12 @@ class ShardedBucketedBandedProjector(ShardedBandedProjector):
 
     @classmethod
     def from_bucketed(cls, op, mesh, axis: str = "angles"):
-        """Shard a ``sparse.banded_buckets.BucketedBandedProjector``."""
-        if getattr(op, "ap", 1) != 1 or any(len(st) > 3
-                                            for st in op.stacks):
+        """Shard a ``sparse.banded_buckets.BucketedBandedProjector``
+        (f32/bf16 or int8-with-scales storage; ap must be 1)."""
+        if getattr(op, "ap", 1) != 1:
             raise ValueError(
-                "sharding supports the f32/bf16 ap=1 bucketed pack; "
-                "build the operator with dtype float/bf16 and ap=1")
+                "sharding supports ap=1 bucketed packs; angle-pair "
+                "batching is a single-chip experiment knob")
         S_dev = mesh.shape[axis]
 
         def sh(a):
@@ -282,15 +312,21 @@ class ShardedBucketedBandedProjector(ShardedBandedProjector):
                     axis, *(None,) * (np.ndim(a) - 1))))
 
         stacks, na_reals = [], []
-        for W, S, P in op.stacks:
-            W, S, P = map(np.asarray, (W, S, P))
+        for st in op.stacks:
+            W, S, P = map(np.asarray, st[:3])
+            sc = np.asarray(st[3]) if len(st) > 3 else None
             na = W.shape[0]
             na_pad = max(-(-na // S_dev) * S_dev, S_dev)
             padn = na_pad - na
             W = np.pad(W, ((0, padn),) + ((0, 0),) * (W.ndim - 1))
             S = np.pad(S, ((0, padn), (0, 0)))
             P = np.pad(P, ((0, padn), (0, 0), (0, 0)))
-            stacks.append((sh(W), sh(S), sh(P)))
+            entry = (sh(W), sh(S), sh(P))
+            if sc is not None:
+                # padded angles carry zero weights; scale value is inert
+                entry = entry + (sh(np.pad(sc, (0, padn),
+                                           constant_values=1.0)),)
+            stacks.append(entry)
             na_reals.append(na)
         return cls(stacks, op.aidxs, na_reals, op.is_cols, op.shape,
                    op.nx, op.det_count, op.n_groups, op.nnz, mesh, axis,
@@ -298,14 +334,17 @@ class ShardedBucketedBandedProjector(ShardedBandedProjector):
 
     def _groups(self):
         return tuple(
-            (W, S, P, ai, na, isc)
-            for (W, S, P), ai, na, isc in zip(self.stacks, self.aidxs,
-                                              self.na_reals, self.is_cols))
+            (st[0], st[1], st[2], ai, na, isc,
+             st[3] if len(st) > 3 else None)
+            for st, ai, na, isc in zip(self.stacks, self.aidxs,
+                                       self.na_reals, self.is_cols))
 
     @property
     def stored_bytes(self):
-        return sum(W.size * W.dtype.itemsize + S.size * 4 + P.size * 4
-                   for W, S, P in self.stacks)
+        return sum(st[0].size * st[0].dtype.itemsize
+                   + st[1].size * 4 + st[2].size * 4
+                   + (st[3].size * 4 if len(st) > 3 else 0)
+                   for st in self.stacks)
 
 
 register_op(

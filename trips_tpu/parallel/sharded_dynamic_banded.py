@@ -104,36 +104,53 @@ class ShardedDynamicBandedOperator(LinearOperator):
                 + self.W_cols.size * self.W_cols.dtype.itemsize)
 
     def _groups(self):
+        # (W, S, Pm, aidx, is_cols, scales-or-None)
         return ((self.W_rows, self.shift_rows, self.P_rows,
-                 self.aidx_rows, False),
+                 self.aidx_rows, False, None),
                 (self.W_cols, self.shift_cols, self.P_cols,
-                 self.aidx_cols, True))
+                 self.aidx_cols, True, None))
 
-    def _frame_fwd(self, W, S, Pm, X):
+    @staticmethod
+    def _deq(W, sc):
+        if sc is None:
+            return W
+        return W.astype(jnp.float32) * sc[:, None, None, None]
+
+    def _frame_fwd(self, W, S, Pm, X, sc=None):
         if _use_pallas():
             from ..sparse.pallas_banded_kernel import _fwd_call
 
-            return _fwd_call(X, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
-                               False, wrap=True)
+            return _fwd_call(X, W, S, Pm, self.n_groups, scales=sc)
+        return apply_group_xla(self.n_pad, self.n_groups, X,
+                               self._deq(W, sc), S, Pm, False, wrap=True)
 
-    def _frame_adj(self, W, S, Pm, Yg):
+    def _frame_adj(self, W, S, Pm, Yg, sc=None):
         if _use_pallas():
             from ..sparse.pallas_banded_kernel import _adj_call
 
-            return _adj_call(Yg, W, S, Pm, self.n_groups)
-        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
-                               True, y_rows=Yg, wrap=True)
+            return _adj_call(Yg, W, S, Pm, self.n_groups, scales=sc)
+        return apply_group_xla(self.n_pad, self.n_groups, None,
+                               self._deq(W, sc), S, Pm, True, y_rows=Yg,
+                               wrap=True)
 
-    def _frame_ata(self, W, S, Pm, X):
+    def _frame_ata(self, W, S, Pm, X, sc=None):
         if _use_pallas():
             from ..sparse.pallas_banded_kernel import _ata_call
 
-            return _ata_call(X, W, S, Pm, self.n_groups)
-        y = apply_group_xla(self.n_pad, self.n_groups, X, W, S, Pm,
+            return _ata_call(X, W, S, Pm, self.n_groups, scales=sc)
+        Wf = self._deq(W, sc)
+        y = apply_group_xla(self.n_pad, self.n_groups, X, Wf, S, Pm,
                             False, wrap=True)
-        return apply_group_xla(self.n_pad, self.n_groups, None, W, S, Pm,
+        return apply_group_xla(self.n_pad, self.n_groups, None, Wf, S, Pm,
                                True, y_rows=y, wrap=True)
+
+    @staticmethod
+    def _vmap_frames(fn, W, S, Pm, arg, sc):
+        if sc is None:
+            return jax.vmap(lambda w, s, p, a: fn(w, s, p, a))(
+                W, S, Pm, arg)
+        return jax.vmap(lambda w, s, p, a, c: fn(w, s, p, a, c))(
+            W, S, Pm, arg, sc)
 
     def _embed(self, x):
         n, npd = self.nx, self.n_pad
@@ -153,14 +170,18 @@ class ShardedDynamicBandedOperator(LinearOperator):
         return [g for g in self._groups() if g[0].size]
 
     def _flat_args(self, groups):
-        return [a for (W, S, Pm, _, _) in groups for a in (W, S, Pm)]
+        return [a for g in groups
+                for a in ((g[0], g[1], g[2])
+                          + ((g[5],) if g[5] is not None else ()))]
 
     def _group_specs(self, groups):
         ta, aa = self.t_axis, self.a_axis
-        return sum(((PartitionSpec(ta, aa, None, None, None),
-                     PartitionSpec(ta, aa, None),
-                     PartitionSpec(ta, aa, None, None)) for _ in groups),
-                   ())
+        return sum(
+            ((PartitionSpec(ta, aa, None, None, None),
+              PartitionSpec(ta, aa, None),
+              PartitionSpec(ta, aa, None, None))
+             + ((PartitionSpec(ta, aa),) if g[5] is not None else ())
+             for g in groups), ())
 
     def matvec(self, x):
         n, p, v = self.nx, self.det_count, self.views
@@ -171,10 +192,15 @@ class ShardedDynamicBandedOperator(LinearOperator):
 
         def local(X, *flat):
             outs = []
-            for i, (_, _, _, _, is_cols) in enumerate(groups):
-                W, S, Pm = flat[3 * i:3 * i + 3]
+            k = 0
+            for g in groups:
+                is_cols, has_sc = g[4], g[5] is not None
+                W, S, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
                 Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-                outs.append(jax.vmap(self._frame_fwd)(W, S, Pm, Xg))
+                outs.append(self._vmap_frames(self._frame_fwd, W, S, Pm,
+                                              Xg, sc))
             return tuple(outs)
 
         f = jax.shard_map(
@@ -183,10 +209,10 @@ class ShardedDynamicBandedOperator(LinearOperator):
             + self._group_specs(groups),
             out_specs=tuple(PartitionSpec(ta, aa, None) for _ in groups))
         outs = f(X, *self._flat_args(groups))
-        for yg, (_, _, _, aidx, _) in zip(outs, groups):
+        for yg, g in zip(outs, groups):
             y = jax.vmap(
                 lambda yy, gg, ai: yy.at[ai].set(gg[:, :p], mode="drop")
-            )(y, yg, aidx)
+            )(y, yg, g[3])
         return y.reshape(-1).astype(x.dtype)
 
     def rmatvec(self, yv):
@@ -198,15 +224,20 @@ class ShardedDynamicBandedOperator(LinearOperator):
         def local(*args):
             ys, flat = args[:len(groups)], args[len(groups):]
             acc = None
-            for i, (_, _, _, _, is_cols) in enumerate(groups):
-                W, S, Pm = flat[3 * i:3 * i + 3]
-                c = jax.vmap(self._frame_adj)(W, S, Pm, ys[i])
+            k = 0
+            for i, g in enumerate(groups):
+                is_cols, has_sc = g[4], g[5] is not None
+                W, S, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
+                c = self._vmap_frames(self._frame_adj, W, S, Pm, ys[i], sc)
                 c = jnp.swapaxes(c, 1, 2) if is_cols else c
                 acc = c if acc is None else acc + c
             return jax.lax.psum(acc, aa)
 
         ys = []
-        for W, _, _, aidx, _ in groups:
+        for g in groups:
+            W, aidx = g[0], g[3]
             p_pad = W.shape[4]
             Yg = jax.vmap(lambda yy, ai: jnp.take(
                 yy, ai, axis=0, mode="fill", fill_value=0.0))(Y, aidx)
@@ -231,10 +262,14 @@ class ShardedDynamicBandedOperator(LinearOperator):
 
         def local(X, *flat):
             acc = None
-            for i, (_, _, _, _, is_cols) in enumerate(groups):
-                W, S, Pm = flat[3 * i:3 * i + 3]
+            k = 0
+            for g in groups:
+                is_cols, has_sc = g[4], g[5] is not None
+                W, S, Pm = flat[k:k + 3]
+                sc = flat[k + 3] if has_sc else None
+                k += 4 if has_sc else 3
                 Xg = jnp.swapaxes(X, 1, 2) if is_cols else X
-                c = jax.vmap(self._frame_ata)(W, S, Pm, Xg)
+                c = self._vmap_frames(self._frame_ata, W, S, Pm, Xg, sc)
                 c = jnp.swapaxes(c, 1, 2) if is_cols else c
                 acc = c if acc is None else acc + c
             return jax.lax.psum(acc, aa)
@@ -294,18 +329,13 @@ class ShardedBucketedDynamicBandedOperator(ShardedDynamicBandedOperator):
             raise ValueError(
                 f"nt={op.nt} must be a multiple of the '{t_axis}' mesh "
                 f"axis ({T_dev}); pad the frame list.")
-        if any(len(st) > 4 for st in op.stacks):
-            raise ValueError(
-                "sharding supports the f32/bf16 bucketed dynamic pack; "
-                "build the operator with dtype float/bf16 (int8 scale "
-                "plumbing is single-chip only)")
-
         def sh(a, spec):
             return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
 
         stacks = []
-        for (W, S, Pm, Ai) in op.stacks:
-            W, S, Pm, Ai = map(np.asarray, (W, S, Pm, Ai))
+        for st in op.stacks:
+            W, S, Pm, Ai = map(np.asarray, st[:4])
+            sc = np.asarray(st[4]) if len(st) > 4 else None
             na = W.shape[1]
             na_pad = max(-(-na // A_dev) * A_dev, A_dev)
             padn = na_pad - na
@@ -314,25 +344,32 @@ class ShardedBucketedDynamicBandedOperator(ShardedDynamicBandedOperator):
             Pm = np.pad(Pm, ((0, 0), (0, padn), (0, 0), (0, 0)))
             Ai = np.pad(Ai, ((0, 0), (0, padn)), constant_values=op.views)
             full = (t_axis, a_axis)
-            stacks.append((
+            entry = (
                 sh(W, PartitionSpec(*full, None, None, None)),
                 sh(S, PartitionSpec(*full, None)),
                 sh(Pm, PartitionSpec(*full, None, None)),
-                sh(Ai, PartitionSpec(t_axis, None))))
+                sh(Ai, PartitionSpec(t_axis, None)))
+            if sc is not None:
+                entry = entry + (sh(np.pad(sc, ((0, 0), (0, padn)),
+                                           constant_values=1.0),
+                                    PartitionSpec(*full)),)
+            stacks.append(entry)
         return cls(stacks, op.is_cols, op.shape, op.nx, op.det_count,
                    op.views, op.n_groups, op.nnz, op.nt, op.n_pad, mesh,
                    t_axis, a_axis)
 
     def _groups(self):
-        return tuple((W, S, Pm, Ai, isc)
-                     for (W, S, Pm, Ai), isc in zip(self.stacks,
-                                                    self.is_cols))
+        return tuple(
+            (st[0], st[1], st[2], st[3], isc,
+             st[4] if len(st) > 4 else None)
+            for st, isc in zip(self.stacks, self.is_cols))
 
     @property
     def stored_bytes(self):
-        return sum(W.size * W.dtype.itemsize
-                   + (S.size + Pm.size + Ai.size) * 4
-                   for W, S, Pm, Ai in self.stacks)
+        return sum(st[0].size * st[0].dtype.itemsize
+                   + (st[1].size + st[2].size + st[3].size) * 4
+                   + (st[4].size * 4 if len(st) > 4 else 0)
+                   for st in self.stacks)
 
 
 register_op(
