@@ -221,9 +221,13 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3, stream_factor=2):
 
     x0 = jnp.zeros(op.shape[1], b.dtype)
     t0 = time.perf_counter()
-    x, _ = fn(op, b, x0, iters)
+    x, k = fn(op, b, x0, iters)
     info["x_norm"] = float(jnp.linalg.norm(x))  # scalar sync
     info["compile_s"] = round(time.perf_counter() - t0, 1)
+    # credit only iterations the solver actually ran: cgls_normal's
+    # quantized-delta guard can terminate before `iters` near convergence
+    k_done = int(k) if np.ndim(k) == 0 else iters
+    info["iters_done"] = k_done
     log(f"    compile+warmup {info['compile_s']}s")
     rates = []
     info["runs_gnnzps"] = []
@@ -232,14 +236,14 @@ def measure_device(fn, op, b, nnz, iters, info, runs=3, stream_factor=2):
         x, _ = fn(op, b, x0, iters)
         _ = float(jnp.linalg.norm(x))
         wall = time.perf_counter() - t0
-        rates.append(iters * 2 * nnz / wall)
+        rates.append(k_done * 2 * nnz / wall)
         # record incrementally so a mid-loop timeout still counts
         info["runs_gnnzps"].append(round(rates[-1] / 1e9, 3))
         info["gnnzps"] = round(float(np.median(rates)) / 1e9, 3)
         stored = info.get("stored_mb")
         if stored:  # roofline: operator streamed stream_factor times per
             # iteration (2 = separate fwd+adj; 1 = fused A^T A kernel)
-            streamed = stream_factor * iters * stored * 1e6
+            streamed = stream_factor * k_done * stored * 1e6
             info["streamed_gb"] = round(streamed / 1e9, 2)
             # derive from the median wall so gbps/pct_peak_bw share the
             # headline gnnzps's basis (ADVICE r3); best-run kept separately
@@ -328,7 +332,7 @@ def main():
             "baseline_sentinel_gnnzps": report.get("baseline_sentinel_gnnzps"),
             "platform": platform,
             "nnz": report.get("nnz"),
-            "iters": report.get("iters"),
+            "iters": report.get("device_iters", report.get("iters")),
             "report_file": "BENCH_report.json",
         }
         # Driver contract (CLAUDE.md / VERDICT r4 weak #1): stdout carries
@@ -344,7 +348,15 @@ def main():
             log(f"could not write BENCH_report.json: {e}")
         log("full report: " + json.dumps(report))
         line = json.dumps(out)
-        assert len(line) < 1500, len(line)
+        if len(line) >= 1500:  # keep the one-line contract: shed optional
+            # fields rather than abort the emit
+            for drop in ("platform", "report_file", "baseline_sentinel_gnnzps",
+                         "best_path_exact_matrix", "best_path"):
+                out.pop(drop, None)
+                line = json.dumps(out)
+                if len(line) < 1500:
+                    break
+            line = line[:1499] if len(line) >= 1500 else line
         print(line, flush=True)
 
     try:

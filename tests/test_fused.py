@@ -492,19 +492,28 @@ def test_fused_info_adapters_match_plain(rng):
         np.testing.assert_allclose(np.asarray(info["xHistory"][-1]),
                                    np.asarray(x0), rtol=1e-10, atol=1e-12)
         assert info["relError"].shape == (kw["n_iter"],)
+        assert "relResidual" not in info  # Residual here is the reference
+        # GKS gradient norm (GKS.py:85-88), not a data residual
         rel_last = float(jnp.linalg.norm(x1 - xt) / jnp.linalg.norm(xt))
         np.testing.assert_allclose(float(info["relError"][-1]), rel_last,
                                    rtol=1e-8)
         assert info["its"] == kw["n_iter"]
 
-    for plain, wrapped in ((fused_hybrid_lsqr, fused_hybrid_lsqr_info),
-                           (fused_hybrid_gmres, fused_hybrid_gmres_info)):
+    for plain, wrapped, start in (
+            (fused_hybrid_lsqr, fused_hybrid_lsqr_info, 1),
+            (fused_hybrid_gmres, fused_hybrid_gmres_info, 0)):
         x0, lam0 = plain(A, bj, n_iter=8, regparam_mode="gcv")
         x1, info = wrapped(A, bj, n_iter=8, regparam_mode="gcv", x_true=xt)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=1e-10, atol=1e-12)
+        # histories are sliced to performed solves: index i of every
+        # array refers to the same iteration
         np.testing.assert_allclose(np.asarray(info["regParam_history"]),
-                                   np.asarray(lam0), rtol=1e-10)
+                                   np.asarray(lam0)[start:], rtol=1e-10)
+        assert (info["regParam_history"].shape == info["Residual"].shape
+                == info["relResidual"].shape
+                == (info["xHistory"].shape[0],)
+                == (info["relError"].shape[0],))
         np.testing.assert_allclose(np.asarray(info["xHistory"][-1]),
                                    np.asarray(x0), rtol=1e-10, atol=1e-12)
         # projected residual identity: ||A x - b|| == ||B y - bhat||

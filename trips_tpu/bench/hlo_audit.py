@@ -66,7 +66,18 @@ def parse_hlo_collectives(hlo_text):
             continue
         ent = stats.setdefault(base, {"count": 0, "bytes": 0})
         ent["count"] += 1
-        ent["bytes"] += _shape_bytes(shape_txt)
+        nbytes = _shape_bytes(shape_txt)
+        if opname.endswith("-start"):
+            # async starts carry tuple results that alias the operands
+            # (pairs of identical shapes); counting the full tuple would
+            # double the payload
+            comps = [_shape_bytes(m.group(0))
+                     for m in _SHAPE_RE.finditer(shape_txt)]
+            half = len(comps) // 2
+            if comps and len(comps) % 2 == 0 and \
+                    comps[:half] == comps[half:]:
+                nbytes //= 2
+        ent["bytes"] += nbytes
     return stats
 
 

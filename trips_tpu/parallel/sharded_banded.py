@@ -106,9 +106,9 @@ class ShardedBandedProjector(LinearOperator):
 
     @staticmethod
     def _deq(W, sc):
-        if sc is None:
-            return W
-        return W.astype(jnp.float32) * sc[:, None, None, None]
+        from ..sparse.banded import dequant_slab
+
+        return dequant_slab(W, sc)
 
     # -- single-program merged applies (VERDICT r3 item 3) ----------------
     #

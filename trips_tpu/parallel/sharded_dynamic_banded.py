@@ -110,11 +110,7 @@ class ShardedDynamicBandedOperator(LinearOperator):
                 (self.W_cols, self.shift_cols, self.P_cols,
                  self.aidx_cols, True, None))
 
-    @staticmethod
-    def _deq(W, sc):
-        if sc is None:
-            return W
-        return W.astype(jnp.float32) * sc[:, None, None, None]
+    _deq = staticmethod(DynamicBandedOperator._deq)
 
     def _frame_fwd(self, W, S, Pm, X, sc=None):
         if _use_pallas():
@@ -144,13 +140,7 @@ class ShardedDynamicBandedOperator(LinearOperator):
         return apply_group_xla(self.n_pad, self.n_groups, None, Wf, S, Pm,
                                True, y_rows=y, wrap=True)
 
-    @staticmethod
-    def _vmap_frames(fn, W, S, Pm, arg, sc):
-        if sc is None:
-            return jax.vmap(lambda w, s, p, a: fn(w, s, p, a))(
-                W, S, Pm, arg)
-        return jax.vmap(lambda w, s, p, a, c: fn(w, s, p, a, c))(
-            W, S, Pm, arg, sc)
+    _vmap_frames = staticmethod(DynamicBandedOperator._vmap_frames)
 
     def _embed(self, x):
         n, npd = self.nx, self.n_pad

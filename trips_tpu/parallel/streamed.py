@@ -67,14 +67,20 @@ class StreamedDynamicBandedOperator(LinearOperator):
             self.frame_ops[t])
 
     def _pipeline(self, apply_frame, slices, x):
-        """Two-slot prefetch loop: transfer t+1 while t computes."""
+        """Two-slot prefetch loop: transfer t+1 while t computes.
+
+        The block on frame t's OUTPUT before advancing is the
+        backpressure that makes the two-slot bound real: device_put and
+        jitted applies are both async, so without it the host loop would
+        enqueue every frame's H2D transfer ahead of the (slow) compute
+        and device residency would grow to O(nt) slabs."""
         outs = []
         nxt = self._put(0)
         for t in range(self.nt):
             cur, nxt = nxt, (self._put(t + 1) if t + 1 < self.nt else None)
-            outs.append(apply_frame(cur, x[slices[t]]))
-        # materialize after the loop so every dispatch overlapped its
-        # successor's transfer
+            out = apply_frame(cur, x[slices[t]])
+            jax.block_until_ready(out)
+            outs.append(out)
         return jnp.concatenate([jnp.asarray(o) for o in outs])
 
     def matvec(self, x):
@@ -103,13 +109,15 @@ def cgls_normal_streamed(op, b, x0, n_iter, tol=0.0):
     """CGLS on the normal equations with a streamed operator: the scalar
     recurrences run on device; the frame loop inside each
     ``normal_matvec`` streams slabs host->device (out-of-core mode of
-    ``krylov.cgls_normal`` — same update, host-level iteration loop)."""
+    ``krylov.cgls_normal`` — same update and same ``(x, k)`` return,
+    host-level iteration loop)."""
     b = jnp.reshape(b, (-1,))
     x = jnp.reshape(x0, (-1,))
     t = op.rmatvec(b) - op.normal_matvec(x)
     norms_t0 = jnp.linalg.norm(t)
     p = t
     gamma = norms_t0**2
+    k_done = 0
     # scalar updates mirror krylov.cgls._cgn_step op-for-op (incl. the
     # nonpositive-delta convergence guard and norm(t)**2 gamma), so the
     # streamed trajectory tracks the resident fused loop to roundoff
@@ -123,9 +131,10 @@ def cgls_normal_streamed(op, b, x0, n_iter, tol=0.0):
         t = t - beta * q
         norm_t = jnp.linalg.norm(t)
         gamma_new = norm_t**2
+        k_done += 1
         if float(norm_t) <= float(norms_t0) * tol:
             gamma = gamma_new
             break
         p = t + (gamma_new / gamma) * p
         gamma = gamma_new
-    return x, gamma
+    return x, k_done

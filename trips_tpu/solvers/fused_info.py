@@ -41,15 +41,24 @@ def _scan_history(body, init, start, n_iter, x_of):
     return carry, xh
 
 
-def _info(xh, lams, resids, b, n_done, x_true):
+def _info(xh, lams, resids, b, n_done, x_true, rel_residual=False):
+    """``Residual`` carries each solver's REFERENCE meaning: for
+    GKS/MMGKS the reorthogonalized normal-equations gradient norm
+    (``trips/solvers/GKS.py:85-88``), for the hybrids the projected
+    ``||A x - b||``. ``relResidual`` (hybrids only, where Residual is a
+    true data residual) divides by ``||b||``. All histories are aligned
+    per performed solve: index i of every array belongs to the same
+    iteration."""
     info = {
         "xHistory": xh,
         "regParam": lams[-1],
         "regParam_history": lams,
         "Residual": resids,
-        "relResidual": resids / jnp.linalg.norm(jnp.reshape(b, (-1,))),
         "its": n_done,
     }
+    if rel_residual:
+        info["relResidual"] = resids / jnp.linalg.norm(
+            jnp.reshape(b, (-1,)))
     if x_true is not None:
         xt = jnp.reshape(x_true, (-1,))
         info["relError"] = (jnp.linalg.norm(xh - xt[None, :], axis=1)
@@ -103,8 +112,11 @@ def fused_hybrid_lsqr_info(A, b, n_iter=50, regparam=1.0, reorth=False,
     body, init, start = _hybrid_lsqr_parts(A, b, n_iter, mode, regparam,
                                            delta, eta, reorth)
     carry, xh = _scan_history(body, init, start, n_iter, lambda c: c[0])
-    lams, resids = carry[1], carry[2]
-    return carry[0], _info(xh, lams, resids, b, n_iter - start, x_true)
+    # slice off the never-written leading entries so every history index
+    # refers to the same performed solve
+    lams, resids = carry[1][start:], carry[2][start:]
+    return carry[0], _info(xh, lams, resids, b, n_iter - start, x_true,
+                           rel_residual=True)
 
 
 @partial(jax.jit, static_argnames=("n_iter", "reorth", "regparam_mode"))
@@ -117,5 +129,5 @@ def fused_hybrid_gmres_info(A, b, n_iter=50, regparam=1.0, reorth=False,
     body, init, start = _hybrid_gmres_parts(A, b, n_iter, mode, regparam,
                                             delta, eta, reorth)
     carry, xh = _scan_history(body, init, start, n_iter, lambda c: c[0])
-    return carry[0], _info(xh, carry[1], carry[2], b, n_iter - start,
-                           x_true)
+    return carry[0], _info(xh, carry[1][start:], carry[2][start:], b,
+                           n_iter - start, x_true, rel_residual=True)

@@ -367,6 +367,15 @@ register_op(
 )
 
 
+def dequant_slab(W, sc):
+    """Dequantize an int8 weight stack with per-angle scales (host/XLA
+    path; the Pallas kernels do this in VMEM via their ``scales`` input).
+    ``sc`` None passes W through — the shared no-op for f32/bf16 packs."""
+    if sc is None:
+        return W
+    return W.astype(jnp.float32) * sc[:, None, None, None]
+
+
 def apply_group_xla(nx, n_groups, X, W, S, P, transpose, y_rows=None,
                     wrap=False):
     """All angles of one drive group (XLA oracle / CPU fallback path).

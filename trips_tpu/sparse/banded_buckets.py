@@ -116,11 +116,9 @@ class BucketedBandedProjector(LinearOperator):
 
     @staticmethod
     def _dequant(W, sc):
-        """Host/XLA-path dequantization of an int8 stack (the Pallas
-        kernel does this in VMEM via ``scales``)."""
-        if sc is None:
-            return W
-        return W.astype(jnp.float32) * sc[:, None, None, None]
+        from .banded import dequant_slab
+
+        return dequant_slab(W, sc)
 
     def to_scipy(self):
         """Exact reconstruction (host oracle) — same entry set as the flat

@@ -149,10 +149,11 @@ class DynamicBandedOperator(LinearOperator):
                 (self.W_cols, self.shift_cols, self.P_cols,
                  self.aidx_cols, True, None))
 
-    def _deq(self, W, sc):
-        if sc is None:
-            return W
-        return W.astype(jnp.float32) * sc[:, None, None, None]
+    @staticmethod
+    def _deq(W, sc):
+        from .banded import dequant_slab
+
+        return dequant_slab(W, sc)
 
     def _fwd_frame(self, W, S, Pm, X, sc=None):
         if _use_pallas():
