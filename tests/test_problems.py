@@ -194,3 +194,29 @@ def test_device_operator_prefers_banded_with_geometry():
     # format parity: same solve through the exact banded pack and ELL
     assert (np.linalg.norm(np.asarray(x) - np.asarray(x2))
             / np.linalg.norm(np.asarray(x2))) < 1e-3
+
+
+def test_device_sparse_operator_quantized_dtypes(rng):
+    """device_sparse_operator accepts the quantized-class dtypes (r5):
+    bf16 / int8 select the champion bucketed pack with the matching
+    storage, f32 stays exact."""
+    import jax.numpy as jnp
+
+    from trips_tpu.problems.projector import fan_beam_matrix
+    from trips_tpu.problems.tomography import device_sparse_operator
+    from trips_tpu.sparse.banded_buckets import BucketedBandedProjector
+
+    nx, views = 32, 12
+    angles = np.linspace(0, np.pi, views, endpoint=False)
+    A = fan_beam_matrix(nx, angles=angles).astype(np.float32)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    for dt, wdtype, tol in ((np.float32, jnp.float32, 1e-5),
+                            (jnp.bfloat16, jnp.bfloat16, 1e-2),
+                            ("int8", jnp.int8, 1e-2)):
+        op = device_sparse_operator(A, nx=nx, angles=angles, dtype=dt,
+                                    prefer="banded")
+        assert isinstance(op, BucketedBandedProjector)
+        assert op.stacks[0][0].dtype == wdtype
+        got = np.asarray(op.matvec(jnp.asarray(x)))
+        rel = np.linalg.norm(got - A @ x) / np.linalg.norm(A @ x)
+        assert rel < tol, (dt, rel)

@@ -27,18 +27,21 @@ def device_sparse_operator(A_csr, prefer_bsr=None, dtype=np.float32,
     """Wrap a host CSR matrix as the best device operator for the backend.
 
     With fan/parallel geometry metadata (``nx`` + ``angles``) on TPU the
-    exact Ta-bucketed banded pack is used — the measured champion format
-    (BENCH r4: 4.7 Gnnz/s exact f32 vs 2.1-2.4 for BSR) — falling back to
-    BSR/ELL when the pack preconditions do not hold. ``prefer`` forces
+    Ta-bucketed banded pack is used — the measured champion format
+    (BENCH r5: exact f32 6.1 Gnnz/s; bf16 14.2; int8 14.5 vs 2.3-2.5 for
+    BSR) — falling back to BSR/ELL when the pack preconditions do not
+    hold. ``dtype`` float32 keeps the exact matrix (the default);
+    ``jnp.bfloat16`` or ``"int8"`` select the quantized-class champions
+    (<1%-of-norm recon deviation, pinned by tests). ``prefer`` forces
     'banded' | 'bsr' | 'ell'."""
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    int8 = np.dtype(dtype) == np.int8
     if prefer is None and prefer_bsr is not None:  # legacy flag
         prefer = "bsr" if prefer_bsr else "ell"
     if prefer is None:
         if (on_tpu and nx is not None and angles is not None
-                and np.dtype(dtype) == np.float32
                 and A_csr.shape[1] == nx * nx):
             prefer = "banded"
         else:
@@ -53,7 +56,10 @@ def device_sparse_operator(A_csr, prefer_bsr=None, dtype=np.float32,
         try:
             return BucketedBandedProjector.from_scipy_fan(
                 A_csr, nx, views=None, angles=np.asarray(angles),
-                n_groups=ng)
+                n_groups=ng,
+                dtype=("int8" if int8
+                       else None if np.dtype(dtype) == np.float32
+                       else dtype))
         except Exception:  # noqa: BLE001 — pack precondition -> fallback
             prefer = "bsr" if on_tpu else "ell"
     if prefer == "bsr":
