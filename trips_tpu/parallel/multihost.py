@@ -7,9 +7,14 @@ slices the standard JAX recipe applies: every host calls
 unchanged, with XLA routing intra-slice collectives over ICI and cross-host
 ones over DCN.
 
-This module is exercised in single-process form by the test suite and the
-driver's ``dryrun_multichip``; real pod-slice runs use the same entry
-points.
+This module is exercised two ways: single-process on the simulated
+8-device mesh (test suite, driver ``dryrun_multichip``), and in REAL
+multi-process form by ``tests/test_multihost.py`` — 2 OS processes
+rendezvous through ``init_multihost`` over a localhost gRPC
+coordinator, build one global ``pod_mesh`` of 2x4 CPU devices, and
+parity-check cross-process psums, fused CGLS and the int8 bucketed
+champion format against single-process oracles. Real pod-slice runs
+use the same entry points with the TPU backend.
 """
 from __future__ import annotations
 

@@ -20,7 +20,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_GOLDEN_MEAN = 0.5 * (3.0 - jnp.sqrt(5.0))
+# Plain float (not jnp): a module-level jnp computation would initialize
+# the XLA backend at import time, which breaks multi-process use —
+# jax.distributed.initialize must run before any backend access
+# (tests/multihost_worker.py). Value matches scipy.optimize.fminbound.
+_GOLDEN_MEAN = 0.5 * (3.0 - 5.0 ** 0.5)
 
 
 def fminbound(func, x1, x2, xtol=1e-12, maxfun=1000):
