@@ -126,6 +126,47 @@ xn_ref, _ = cgls_normal(buck, jnp.asarray(A @ xt),
                         jnp.zeros(buck.shape[1], jnp.float32), 5, 0.0)
 _assert_close(_gather(xn_mp), xn_ref, 1e-3, "bucketed int8 cgls_normal")
 
+# ---- leg 4: dynamic CT with the TIME axis across the process boundary -
+# pod_mesh's design claim (multihost.py): time shards land host-major so
+# each host owns whole frames and only the tiny per-frame-slab angle
+# psums cross chips; here time shard 0 = process 0's devices, shard 1 =
+# process 1's, so frame slabs really live on different OS processes.
+from jax.sharding import Mesh  # noqa: E402
+
+from trips_tpu.parallel import (  # noqa: E402
+    ShardedBucketedDynamicBandedOperator,
+)
+from trips_tpu.problems.dynamic import (  # noqa: E402
+    generate_synthetic_dynamic as gsd,
+)
+from trips_tpu.sparse.dynamic_banded import (  # noqa: E402
+    BucketedDynamicBandedOperator,
+)
+
+devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+dmesh = Mesh(np.array(devs).reshape(NPROC, n_global // NPROC),
+             ("time", "angles"))
+assert len({d.process_index for d in dmesh.devices[0]}) == 1  # host-major
+_, bd, AAd, _, nxd, _, ntd, _, _, al = gsd(
+    nx=16, nt=NPROC, views=2 * (n_global // NPROC), noise_level=0.01,
+    return_angles=True)
+dop = BucketedDynamicBandedOperator.from_frames(
+    AAd, nxd, al, n_groups=8, n_buckets=2)
+sdop = ShardedBucketedDynamicBandedOperator.from_dynamic(dop, dmesh)
+from scipy import sparse as sp  # noqa: E402
+
+Adfull = sp.block_diag(AAd, format="csr")
+xdp = np.random.default_rng(1).standard_normal(
+    sdop.shape[1]).astype(np.float32)
+_assert_close(_gather(sdop.normal_matvec(jnp.asarray(xdp))),
+              Adfull.T @ (Adfull @ xdp.astype(np.float64)), 1e-3,
+              "dynamic time-x-angles normal")
+xd_mp, _ = cgls_normal(sdop, jnp.asarray(bd, jnp.float32),
+                       jnp.zeros(sdop.shape[1], jnp.float32), 3, 0.0)
+xd_ref, _ = cgls_normal(dop, jnp.asarray(bd, jnp.float32),
+                        jnp.zeros(dop.shape[1], jnp.float32), 3, 0.0)
+_assert_close(_gather(xd_mp), xd_ref, 1e-3, "dynamic cgls_normal")
+
 print(f"MULTIHOST_OK p{PROC_ID} procs={NPROC} local={n_local} "
       f"global={n_global}", flush=True)
 jax.distributed.shutdown()

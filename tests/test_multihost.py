@@ -62,5 +62,6 @@ def test_two_process_global_mesh_parity():
             f"worker {i} missing OK sentinel\n{out}"
         # every parity leg must have reported
         for leg in ("fwd", "normal(psum)", "fused cgls",
-                    "bucketed int8 cgls_normal"):
+                    "bucketed int8 cgls_normal",
+                    "dynamic time-x-angles normal", "dynamic cgls_normal"):
             assert f"p{i} {leg}: rel=" in out, f"worker {i} missing {leg}"
