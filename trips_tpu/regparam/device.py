@@ -20,11 +20,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Plain float (not jnp): a module-level jnp computation would initialize
-# the XLA backend at import time, which breaks multi-process use —
-# jax.distributed.initialize must run before any backend access
-# (tests/multihost_worker.py). Value matches scipy.optimize.fminbound.
-_GOLDEN_MEAN = 0.5 * (3.0 - 5.0 ** 0.5)
+def _golden_mean():
+    """Golden-section constant, computed at TRACE time.
+
+    Not a module-level jnp constant: that would initialize the XLA
+    backend at import, which breaks multi-process use
+    (jax.distributed.initialize must precede any backend access —
+    tests/multihost_worker.py). Not a Python float either: in a pure-f32
+    session the f32-sqrt value is one ulp BELOW the rounded f64 value,
+    and the fused-GKS f32 GCV trajectory pinned by
+    tests/test_fused.py::test_fused_f32_robustness is sensitive to that
+    ulp. Tracing jnp.sqrt reproduces the historical bits in every dtype
+    config."""
+    return 0.5 * (3.0 - jnp.sqrt(jnp.asarray(5.0)))
 
 
 def fminbound(func, x1, x2, xtol=1e-12, maxfun=1000):
@@ -32,6 +40,7 @@ def fminbound(func, x1, x2, xtol=1e-12, maxfun=1000):
 
     ``func`` must be a traceable scalar function.
     """
+    _GOLDEN_MEAN = _golden_mean()
     sqrt_eps = jnp.sqrt(jnp.asarray(2.2e-16))
     a0, b0 = jnp.asarray(x1, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), jnp.asarray(x2)
     fulc0 = a0 + _GOLDEN_MEAN * (b0 - a0)
